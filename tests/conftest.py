@@ -1,0 +1,29 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on XLA's host platform with 8 virtual devices (the driver
+separately dry-run-compiles the multi-chip path via __graft_entry__).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The image's sitecustomize imports jax at interpreter start (to register the
+# axon TPU plugin), which locks in JAX_PLATFORMS=axon before this conftest
+# runs — override through the config API instead.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,88 @@
+"""Multi-device sharded aggregation tests (8-device virtual CPU mesh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coma_tpu.affordance.contact import aggregate_contact, contact_update_batch
+from coma_tpu.affordance.occupancy import aggregated_occupancy, occupancy_update_batch
+from coma_tpu.affordance.state import init_coma_state, init_occupancy_state
+from coma_tpu.parallel import (
+    default_mesh,
+    pad_batch,
+    sharded_contact_aggregate,
+    sharded_occupancy_aggregate,
+)
+
+H, O, N = 16, 12, 32
+
+
+def make_batch(rng, B):
+    hv = jnp.asarray(rng.normal(size=(B, H, 3)) * 0.3, dtype=jnp.float32)
+    hn = jnp.asarray(rng.normal(size=(B, H, 3)), dtype=jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(B, O, 3)) * 0.3, dtype=jnp.float32)
+    on = jnp.asarray(rng.normal(size=(B, O, 3)), dtype=jnp.float32)
+    return hv, hn, ov, on
+
+
+def test_mesh_has_8_devices():
+    assert default_mesh().shape["data"] == 8
+
+
+@pytest.mark.parametrize("B", [8, 13, 16])  # 13: ragged, exercises padding
+def test_sharded_contact_matches_sequential(rng, B):
+    hv, hn, ov, on = make_batch(rng, B)
+    state0 = init_coma_state(H, O, N, 0.07, 0.24)
+    sharded = sharded_contact_aggregate(state0, hv, hn, ov, on)
+    joint = contact_update_batch(state0, hv, hn, ov, on)
+    assert float(sharded.used_count) == B
+    # constants must survive the psum un-scaled
+    np.testing.assert_array_equal(
+        np.asarray(sharded.canon_normal_grid), np.asarray(state0.canon_normal_grid)
+    )
+    a, _ = aggregate_contact(sharded, "human", 0.1)
+    b, _ = aggregate_contact(joint, "human", 0.1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    assert np.isfinite(np.asarray(sharded.prob_grid_canon_human_wrt_obj)).all()
+
+
+def test_sharded_occupancy_matches_sequential(rng):
+    B = 11
+    hv, _, ov, _ = make_batch(rng, B)
+    ov = jnp.tile(ov[:1], (B, 1, 1))  # one object across samples, like real data
+    occ0 = init_occupancy_state(H, O, spatial_res=8, scale_tolerance=3.0)
+    sharded = sharded_occupancy_aggregate(occ0, hv, ov)
+    joint = occupancy_update_batch(occ0, hv, ov)
+    assert float(sharded.used_count) == B
+    np.testing.assert_allclose(
+        np.asarray(aggregated_occupancy(sharded)),
+        np.asarray(aggregated_occupancy(joint)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.anchor_vert), np.asarray(ov[0, 0]), rtol=1e-6
+    )
+
+
+def test_pad_batch_mask():
+    a = jnp.ones((3, 4))
+    (padded,), mask = pad_batch([a], 8)
+    assert padded.shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(mask), [1, 1, 1, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(padded[3:]), 0.0)
+
+
+def test_sharded_with_explicit_valid_mask(rng):
+    """Caller-provided valid mask composes with the padding mask."""
+    B = 10
+    hv, hn, ov, on = make_batch(rng, B)
+    valid = jnp.array([1.0] * 7 + [0.0] * 3)
+    state0 = init_coma_state(H, O, N, 0.07, 0.24)
+    sharded = sharded_contact_aggregate(state0, hv, hn, ov, on, valid=valid)
+    joint = contact_update_batch(state0, hv[:7], hn[:7], ov[:7], on[:7])
+    assert float(sharded.used_count) == 7
+    np.testing.assert_allclose(
+        np.asarray(sharded.prob_grid_canon_human_wrt_obj),
+        np.asarray(joint.prob_grid_canon_human_wrt_obj),
+        rtol=1e-4, atol=1e-6,
+    )
