@@ -101,7 +101,7 @@ def sharded_contact_aggregate(
         import dataclasses
 
         s = dataclasses.replace(
-            s, **{f: jax.lax.pvary(getattr(s, f), (axis_name,)) for f in accum_fields}
+            s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in accum_fields}
         )
         s = contact_update_batch(s, hv, hn, ov, on, valid=v)
         return dataclasses.replace(
@@ -143,7 +143,7 @@ def sharded_occupancy_aggregate(
 
         occ_fields = ("spatial_occupancy_grids", "used_count", "anchor_vert")
         s = dataclasses.replace(
-            s, **{f: jax.lax.pvary(getattr(s, f), (axis_name,)) for f in occ_fields}
+            s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in occ_fields}
         )
         s = occupancy_update_batch(s, hv, ov, valid=v)
         # anchor_vert is identical on every shard (same object vertex, the

@@ -1,0 +1,224 @@
+"""ComA extraction driver: samples on disk -> aggregated state -> products.
+
+Reference parity: ``src/coma/extract_coma.py:run_affordance_extraction:66-503``
+with the TPU-first execution model: samples are loaded and prepped on host,
+stacked into one (B, ·, 3) batch, and aggregated by a single jitted scan
+(sharded over the device mesh when more than one device is present) instead
+of the reference's per-sample eager GPU updates.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coma_tpu.affordance.contact import contact_update_batch
+from coma_tpu.affordance.io import (
+    load_coma_state,
+    load_occupancy_state,
+    load_pickle,
+    save_coma_state,
+    save_occupancy_state,
+)
+from coma_tpu.affordance.occupancy import occupancy_update_batch
+from coma_tpu.affordance.state import init_coma_state, init_occupancy_state
+from coma_tpu.core.paths import ResultsTree, SampleKey, smplx_downsample_path
+from coma_tpu.core.sentinels import is_sentinel
+from coma_tpu.parallel.sharding import (
+    sharded_contact_aggregate,
+    sharded_occupancy_aggregate,
+)
+from coma_tpu.pipelines.affordance_inputs import prepare_affordance_extraction_inputs
+from coma_tpu.pipelines.products import save_product
+
+
+def load_postfilter_whitelist(tree: ResultsTree, sc, cat, asset, mainprompt):
+    path = tree.postfilter_json(sc, cat, asset, mainprompt)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"postfilter whitelist missing: {path} (run the filter stage first)"
+        )
+    with open(path, "r") as rf:
+        return {tuple(entry) for entry in json.load(rf)}
+
+
+def collect_scam_samples(
+    tree: ResultsTree,
+    supercategories: Optional[List[str]],
+    categories: Optional[List[str]],
+    prompts: Optional[List[str]],
+    enable_postfilter: bool,
+) -> Dict[tuple, List[SampleKey]]:
+    """Group surviving samples by SCAM = (supercategory, category, asset,
+    mainprompt) (reference: ``extract_coma.py:147-260``)."""
+    scams: Dict[tuple, List[SampleKey]] = {}
+    whitelists: Dict[tuple, set] = {}
+    for key, path in tree.iter_human_samples(supercategories, categories, prompts):
+        if enable_postfilter:
+            scam = key.scam
+            if scam not in whitelists:
+                whitelists[scam] = load_postfilter_whitelist(
+                    tree, key.supercategory, key.category, key.asset_id, key.mainprompt
+                )
+            checker = (key.view_id, key.asset_mask_id, key.prompt, key.inpaint_id)
+            if checker not in whitelists[scam]:
+                continue
+        else:
+            payload = load_pickle(path)
+            if is_sentinel(payload):
+                continue
+        scams.setdefault(key.scam, []).append(key)
+    return scams
+
+
+def aggregate_samples_tpu(state, samples: List[Dict[str, np.ndarray]], occupancy: bool):
+    """Stack prepped samples and aggregate in one jitted program; shard over
+    the mesh when multiple devices are available."""
+    stack = lambda field: jnp.asarray(
+        np.stack([s[field] for s in samples]), dtype=jnp.float32
+    )
+    hv = stack("human_verts")
+    ov = stack("obj_verts")
+    multi = len(jax.devices()) > 1
+    if occupancy:
+        if multi:
+            return sharded_occupancy_aggregate(state, hv, ov)
+        return jax.jit(occupancy_update_batch)(state, hv, ov)
+    hn = stack("human_normals")
+    on = stack("obj_normals")
+    if multi:
+        return sharded_contact_aggregate(state, hv, hn, ov, on)
+    return jax.jit(contact_update_batch)(state, hv, hn, ov, on)
+
+
+def run_affordance_extraction(
+    hyperparams: Dict[str, Any],
+    hyperparams_key: str,
+    supercategories: Optional[List[str]] = None,
+    categories: Optional[List[str]] = None,
+    prompts: Optional[List[str]] = None,
+    results_root: str = "results",
+    constants_mesh_dir: str = "./constants/mesh",
+    coma_save_dir: Optional[str] = None,
+    affordance_save_dir: Optional[str] = None,
+    scale_tolerance: float = 3.0,
+    skip_done: bool = False,
+    verbose: bool = True,
+) -> List[str]:
+    """Run extraction for every discovered SCAM; returns saved product paths."""
+    tree = ResultsTree(results_root)
+    visualize_type = hyperparams["visualize_type"]
+    occupancy = visualize_type == "occupancy"
+    quant_mode = hyperparams.get("quant_mode", False)
+
+    human_downsample = load_pickle(
+        smplx_downsample_path(hyperparams["human_res"], constants_mesh_dir)
+    )
+    H = (
+        human_downsample["N_raw"]
+        if hyperparams["human_use_downsample_pcd_raw"]
+        else human_downsample["N"]
+    )
+
+    scams = collect_scam_samples(
+        tree, supercategories, categories, prompts, hyperparams["enable_postfilter"]
+    )
+
+    saved: List[str] = []
+    for scam in sorted(scams.keys()):
+        sc, cat, asset, mainprompt = scam
+        if quant_mode and mainprompt != "total":
+            continue
+        keys = scams[scam]
+
+        object_downsample = load_pickle(
+            tree.asset_downsample(sc, cat, asset, hyperparams["object_res"])
+        )
+        O = (
+            object_downsample["N_raw"]
+            if hyperparams["object_use_downsample_pcd_raw"]
+            else object_downsample["N"]
+        )
+
+        coma_pickle = tree.coma_pickle(sc, cat, asset, hyperparams_key, mainprompt)
+        coma_json = tree.coma_json(sc, cat, asset, hyperparams_key, mainprompt)
+        out_dir = tree.affordance_dir(sc, cat, asset, hyperparams_key, mainprompt)
+
+        if skip_done and os.path.exists(coma_pickle):
+            state = (
+                load_occupancy_state(coma_pickle)
+                if occupancy
+                else load_coma_state(coma_pickle)
+            )
+        else:
+            samples = []
+            for key in keys:
+                prepped = prepare_affordance_extraction_inputs(
+                    human_mesh_pth=tree.human_sample(key),
+                    human_downsample_metadata=human_downsample,
+                    object_downsample_metadata=object_downsample,
+                    human_use_downsample_pcd_raw=hyperparams[
+                        "human_use_downsample_pcd_raw"
+                    ],
+                    object_use_downsample_pcd_raw=hyperparams[
+                        "object_use_downsample_pcd_raw"
+                    ],
+                    eps=hyperparams["eps"],
+                    standardize_human_scale=hyperparams["standardize_human_scale"],
+                    scaler_range=hyperparams["scaler_range"],
+                    camera_pth=tree.camera(sc, cat, asset, key.view_id),
+                    human_params_pth=tree.human_pred(key),
+                )
+                if prepped is not None:
+                    samples.append(prepped)
+            if not samples:
+                if verbose:
+                    print(f"[extract] {scam}: no surviving samples, skipping")
+                continue
+
+            if occupancy:
+                state = init_occupancy_state(
+                    human_res=H,
+                    obj_res=O,
+                    spatial_res=hyperparams["spatial_res"],
+                    scale_tolerance=scale_tolerance,
+                )
+            else:
+                state = init_coma_state(
+                    human_res=H,
+                    obj_res=O,
+                    normal_res=hyperparams["normal_res"],
+                    spatial_grid_size=hyperparams["spatial_grid_size"],
+                    spatial_grid_thres=hyperparams["spatial_grid_thres"],
+                    normal_gaussian_sigma=hyperparams["normal_gaussian_sigma"],
+                    principle_vec=hyperparams["principle_vec"],
+                    sub_principle_vec=hyperparams["sub_principle_vec"],
+                    eps=hyperparams["eps"],
+                )
+            state = aggregate_samples_tpu(state, samples, occupancy)
+
+            os.makedirs(os.path.dirname(coma_pickle), exist_ok=True)
+            if occupancy:
+                save_occupancy_state(state, coma_pickle)
+            else:
+                save_coma_state(state, coma_pickle)
+            info = dict(hyperparams)
+            info.update(
+                H=H, O=O, num_samples=len(samples),
+                supercategory=sc, category=cat, asset_id=asset, mainprompt=mainprompt,
+            )
+            with open(coma_json, "w") as wf:
+                json.dump(info, wf, indent=1, default=str)
+            if verbose:
+                print(f"[extract] {scam}: aggregated {len(samples)} samples "
+                      f"(H={H}, O={O}) -> {coma_pickle}")
+
+        if visualize_type != "none":
+            saved.append(
+                save_product(state, visualize_type, hyperparams, object_downsample, out_dir)
+            )
+    return saved
