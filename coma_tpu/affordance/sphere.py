@@ -41,8 +41,13 @@ def geodesic_gaussian(
     (``utils/coma.py:109``); it keeps arccos' gradient finite and puts a
     floor of ``exp(-(~sqrt(2 eps))²/σ²)`` under perfectly aligned normals.
     """
-    cos = jnp.einsum(
-        "...k,nk->...n", directions, normal_grid, precision=jax.lax.Precision.HIGHEST
+    # K=3 contraction as explicit multiply-adds: an einsum here would lower
+    # to a K=3 MXU matmul (42x padding waste, 6 passes at HIGHEST precision);
+    # elementwise VPU ops are both faster and exactly f32.
+    cos = (
+        directions[..., None, 0] * normal_grid[:, 0]
+        + directions[..., None, 1] * normal_grid[:, 1]
+        + directions[..., None, 2] * normal_grid[:, 2]
     )
     geo = jnp.arccos(jnp.clip(cos, -1.0 + eps, 1.0 - eps))
     return jnp.exp(-(geo * geo) / (sigma * sigma))

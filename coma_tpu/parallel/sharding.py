@@ -200,3 +200,104 @@ def shard_state_over_h(state, mesh: Optional[Mesh] = None, axis_name: str = "dat
         if hasattr(state, f):
             fields[f] = place(getattr(state, f))
     return dataclasses.replace(state, **fields)
+
+
+def mesh_2d(
+    n_data: int, n_model: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """A (data, model) 2-D mesh: samples shard over 'data', the H
+    (human-vertex) axis of the accumulators shards over 'model'."""
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def sharded_contact_aggregate_2d(
+    state: ComAState,
+    human_verts: jax.Array,    # (B, H, 3)
+    human_normals: jax.Array,  # (B, H, 3)
+    obj_verts: jax.Array,      # (B, O, 3)
+    obj_normals: jax.Array,    # (B, O, 3)
+    mesh: Mesh,
+    valid: Optional[jax.Array] = None,
+) -> ComAState:
+    """Data-parallel over samples AND model-parallel over the H axis.
+
+    The full 'training step' of this framework: each (data, model) tile scans
+    its sample shard against its H-slice of the accumulators, then one psum
+    over 'data' combines the sample shards. No collective is needed on
+    'model' — the update is elementwise in H (each H-row of the grids depends
+    only on that row's human vertices), so H-sharding is communication-free;
+    this is what lets the reference's single-GPU-bound 470M-element grid
+    (SURVEY.md §6) scale past one chip's HBM.
+    """
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    H = human_verts.shape[1]
+    assert H % n_model == 0, f"H={H} must divide over model={n_model}"
+
+    B = human_verts.shape[0]
+    B_pad = round_up(B, n_data)
+    if valid is None:
+        valid = jnp.ones(B, human_verts.dtype)
+    padded, pad_mask = pad_batch(
+        [human_verts, human_normals, obj_verts, obj_normals, valid], B_pad
+    )
+    hv, hn, ov, on, valid_padded = padded
+    valid_padded = valid_padded * pad_mask
+
+    accum_fields = (
+        "prob_grid_canon_human_wrt_obj",
+        "prob_grid_canon_obj_wrt_human",
+        "contact_dist_expectation_grid_nom",
+        "contact_dist_expectation_grid_denom",
+        "significant_contact_count",
+        "used_count",
+    )
+    # H-leading accumulators shard over 'model'; scalars/constants replicate.
+    h_sharded = P("model")
+    state_specs = ComAState(
+        canon_normal_grid=P(),
+        prob_grid_canon_human_wrt_obj=h_sharded,
+        prob_grid_canon_obj_wrt_human=h_sharded,
+        contact_dist_expectation_grid_nom=h_sharded,
+        contact_dist_expectation_grid_denom=h_sharded,
+        significant_contact_count=h_sharded,
+        used_count=P(),
+        principle_vec=P(),
+        sub_principle_vec=P(),
+        human_res=state.human_res,
+        obj_res=state.obj_res,
+        normal_res=state.normal_res,
+        spatial_grid_size=state.spatial_grid_size,
+        spatial_grid_thres=state.spatial_grid_thres,
+        normal_gaussian_sigma=state.normal_gaussian_sigma,
+        eps=state.eps,
+    )
+    # samples: B shards over 'data', the H axis of human arrays over 'model'
+    human_spec = P("data", "model")
+    obj_spec = P("data")
+
+    def shard_fn(s, hv, hn, ov, on, v):
+        import dataclasses
+
+        s = dataclasses.replace(
+            s,
+            **{
+                f: jax.lax.pcast(getattr(s, f), ("data",), to="varying")
+                for f in accum_fields
+            },
+        )
+        s = contact_update_batch(s, hv, hn, ov, on, valid=v)
+        return dataclasses.replace(
+            s, **{f: jax.lax.psum(getattr(s, f), "data") for f in accum_fields}
+        )
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(state_specs, human_spec, human_spec, obj_spec, obj_spec, P("data")),
+        out_specs=state_specs,
+    )
+    return fn(state, hv, hn, ov, on, valid_padded)

@@ -92,6 +92,11 @@ def aggregate_samples_tpu(state, samples: List[Dict[str, np.ndarray]], occupancy
     on = stack("obj_normals")
     if multi:
         return sharded_contact_aggregate(state, hv, hn, ov, on)
+    if jax.default_backend() != "cpu":
+        # the Pallas fused splat kernel (Mosaic only compiles for TPU)
+        from coma_tpu.ops.contact_kernel import fused_contact_update_batch
+
+        return jax.jit(fused_contact_update_batch)(state, hv, hn, ov, on)
     return jax.jit(contact_update_batch)(state, hv, hn, ov, on)
 
 

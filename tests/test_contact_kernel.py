@@ -1,0 +1,80 @@
+"""Parity tests for the fused Pallas splat kernel (interpreter mode on CPU).
+
+On real TPU hardware the kernel compiles via Mosaic; CI runs it through the
+Pallas interpreter, which executes the same kernel logic.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from coma_tpu.affordance.contact import contact_update_batch
+from coma_tpu.affordance.state import init_coma_state
+from coma_tpu.ops.contact_kernel import acos_f32, fused_contact_update_batch
+
+H, O, N = 48, 20, 40
+
+
+def make_batch(rng, B):
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    hv = jnp.asarray(rng.normal(size=(B, H, 3)) * 0.3, dtype=jnp.float32)
+    hn = jnp.asarray(unit(rng.normal(size=(B, H, 3))), dtype=jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(B, O, 3)) * 0.3, dtype=jnp.float32)
+    on = jnp.asarray(unit(rng.normal(size=(B, O, 3))), dtype=jnp.float32)
+    return hv, hn, ov, on
+
+
+def test_acos_f32_accuracy():
+    x = jnp.linspace(-1 + 1e-7, 1 - 1e-7, 20001, dtype=jnp.float32)
+    err = jnp.abs(acos_f32(x) - jnp.arccos(x)).max()
+    assert float(err) < 1e-6
+
+
+@pytest.mark.parametrize("B", [4, 5])  # 5: exercises slab padding
+def test_fused_matches_reference_path(rng, B):
+    hv, hn, ov, on = make_batch(rng, B)
+    state = init_coma_state(H, O, N, 0.07, 0.24, 0.25)
+    ref = contact_update_batch(state, hv, hn, ov, on)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on)
+    for f in (
+        "prob_grid_canon_human_wrt_obj",
+        "prob_grid_canon_obj_wrt_human",
+        "contact_dist_expectation_grid_nom",
+        "significant_contact_count",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-4, atol=1e-5,
+        )
+    assert float(fused.used_count) == B
+
+
+def test_fused_respects_valid_mask(rng):
+    hv, hn, ov, on = make_batch(rng, 4)
+    valid = jnp.array([1.0, 0.0, 1.0, 0.0])
+    state = init_coma_state(H, O, N, 0.07, 0.24, 0.25)
+    ref = contact_update_batch(state, hv, hn, ov, on, valid=valid)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on, valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(fused.prob_grid_canon_human_wrt_obj),
+        np.asarray(ref.prob_grid_canon_human_wrt_obj),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert float(fused.used_count) == 2.0
+
+
+def test_fused_large_sigma_exact_path(rng):
+    """σ ≥ ~0.55 disables the θ²-poly cutoff; the exact arccos path runs."""
+    hv, hn, ov, on = make_batch(rng, 4)
+    state = init_coma_state(H, O, N, 0.07, 0.24, normal_gaussian_sigma=0.8)
+    ref = contact_update_batch(state, hv, hn, ov, on)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on)
+    np.testing.assert_allclose(
+        np.asarray(fused.prob_grid_canon_human_wrt_obj),
+        np.asarray(ref.prob_grid_canon_human_wrt_obj),
+        rtol=1e-4, atol=1e-5,
+    )
