@@ -1,0 +1,224 @@
+"""Tests for the Flax SD stack: DDIM oracle, UNet/VAE/CLIP shapes, and the
+full adaptive-mask pipeline on tiny configs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coma_tpu.models.diffusion.clip_text import CLIPTextEncoder, tiny_clip_config
+from coma_tpu.models.diffusion.ddim import (
+    add_noise,
+    ddim_step,
+    ddim_step_traced,
+    inpaint_timesteps,
+    make_ddim_schedule,
+)
+from coma_tpu.models.diffusion.pipeline import (
+    AdaptiveMaskConfig,
+    AdaptiveMaskInpaintPipeline,
+    default_dilate_schedule,
+    default_provoke_schedule,
+    dilate_mask,
+)
+from coma_tpu.models.diffusion.unet import UNet2DCondition, tiny_unet_config
+from coma_tpu.models.diffusion.vae import Decoder, Encoder, sample_latents, tiny_vae_config
+
+
+# ---------------------------------------------------------------- DDIM ----
+
+def test_ddim_schedule_tables():
+    s = make_ddim_schedule(50)
+    assert list(s.timesteps[:3]) == [980, 960, 940] and s.timesteps[-1] == 0
+    # scaled_linear: betas = linspace(sqrt(b0), sqrt(b1), 1000)^2
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+    np.testing.assert_allclose(s.alphas_cumprod, np.cumprod(1 - betas), rtol=1e-5)
+    assert abs(s.final_alpha_cumprod - (1 - betas[0])) < 1e-6  # f32 table
+
+
+def test_ddim_step_oracle(rng):
+    s = make_ddim_schedule(50)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), dtype=jnp.float32)
+    prev, x0 = ddim_step(s, 0, eps, x)
+    t, t_prev = 980, 960
+    a_t, a_prev = s.alphas_cumprod[t], s.alphas_cumprod[t_prev]
+    want_x0 = (np.asarray(x) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    want_prev = np.sqrt(a_prev) * want_x0 + np.sqrt(1 - a_prev) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(x0), want_x0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(prev), want_prev, rtol=1e-4)
+    # traced variant agrees
+    prev_t, x0_t = ddim_step_traced(s, jnp.asarray(0), eps, x)
+    np.testing.assert_allclose(np.asarray(prev_t), np.asarray(prev), rtol=1e-5)
+
+
+def test_ddim_last_step_uses_final_alpha(rng):
+    s = make_ddim_schedule(50)
+    x = jnp.ones((1, 2, 2, 4))
+    eps = jnp.zeros((1, 2, 2, 4))
+    prev, x0 = ddim_step(s, 49, eps, x)  # t=0, prev_t=-20 -> final_alpha
+    a0 = s.alphas_cumprod[0]
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(x0) * np.sqrt(a0), rtol=1e-5)
+
+
+def test_ddim_denoises_toward_x0(rng):
+    """Running all 50 steps with a perfect eps-oracle recovers x0."""
+    s = make_ddim_schedule(50)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), dtype=jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), dtype=jnp.float32)
+    x = add_noise(s, x0, noise, int(s.timesteps[0]))
+    for i in range(50):
+        t = int(s.timesteps[i])
+        a_t = s.alphas_cumprod[t]
+        eps = (x - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)  # oracle eps at x_t
+        x, _ = ddim_step(s, i, eps, x)
+    # set_alpha_to_one=False: the final sample sits at ᾱ_final = ᾱ_0, i.e.
+    # sqrt(ᾱ_0)·x0 + sqrt(1-ᾱ_0)·ε — not exactly x0 (diffusers parity)
+    a_fin = s.final_alpha_cumprod
+    want = np.sqrt(a_fin) * np.asarray(x0) + np.sqrt(1 - a_fin) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-4)
+
+
+def test_inpaint_timesteps_strength():
+    s = make_ddim_schedule(50)
+    full, start = inpaint_timesteps(s, 1.0)
+    assert len(full) == 50 and start == 0
+    part, start = inpaint_timesteps(s, 0.5)
+    assert len(part) == 25 and start == 25 and part[0] == 480
+
+
+# ------------------------------------------------------------- schedules ----
+
+def test_reference_schedules():
+    d = default_dilate_schedule(50)
+    assert d == [20] * 5 + [10] * 5 + [5] * 5 + [4] * 5 + [3] * 5 + [2] * 5 + [1] * 5 + [0] * 15
+    p = default_provoke_schedule(50)
+    assert p == [2, 4, 6, 8, 10] + list(range(12, 41, 2)) + [45]
+    assert len(p) == 21  # ~21 in-loop segmentations per image (SURVEY §6)
+
+
+def test_dilate_mask_radius():
+    m = jnp.zeros((1, 9, 9)).at[0, 4, 4].set(1.0)
+    out = np.asarray(dilate_mask(m, jnp.asarray(2)))
+    ys, xs = np.nonzero(out[0])
+    assert ys.min() == 2 and ys.max() == 6 and xs.min() == 2 and xs.max() == 6
+    out0 = np.asarray(dilate_mask(m, jnp.asarray(0)))
+    np.testing.assert_array_equal(out0, np.asarray(m))
+
+
+# ------------------------------------------------------------ models ----
+
+def test_unet_shapes(rng):
+    cfg = tiny_unet_config()
+    model = UNet2DCondition(cfg)
+    lat = jnp.asarray(rng.normal(size=(2, 16, 16, 9)), dtype=jnp.float32)
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jnp.asarray(rng.normal(size=(2, 7, cfg.cross_attention_dim)), dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), lat, t, ctx)
+    out = jax.jit(model.apply)(params, lat, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_roundtrip_shapes(rng):
+    cfg = tiny_vae_config()
+    enc, dec = Encoder(cfg), Decoder(cfg)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), dtype=jnp.float32)
+    ep = enc.init(jax.random.PRNGKey(0), img)
+    moments = enc.apply(ep, img)
+    assert moments.shape == (1, 4, 4, 8)  # 32 / 2^3, 2*latent_channels
+    lat = sample_latents(moments, jax.random.PRNGKey(1), cfg.scaling_factor)
+    dp = dec.init(jax.random.PRNGKey(2), lat / cfg.scaling_factor)
+    out = dec.apply(dp, lat / cfg.scaling_factor)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_clip_shapes():
+    cfg = tiny_clip_config()
+    model = CLIPTextEncoder(cfg)
+    ids = jnp.asarray([[1, 5, 9, 2, 0, 0, 0]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (1, 7, cfg.hidden_size)
+
+
+def test_clip_causality():
+    """Changing a later token must not affect earlier positions."""
+    cfg = tiny_clip_config()
+    model = CLIPTextEncoder(cfg)
+    ids_a = jnp.asarray([[1, 5, 9, 2]], dtype=jnp.int32)
+    ids_b = jnp.asarray([[1, 5, 9, 7]], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids_a)
+    out_a = np.asarray(model.apply(params, ids_a))
+    out_b = np.asarray(model.apply(params, ids_b))
+    np.testing.assert_allclose(out_a[:, :3], out_b[:, :3], atol=1e-5)
+    assert np.abs(out_a[:, 3] - out_b[:, 3]).max() > 1e-4
+
+
+# ----------------------------------------------------------- pipeline ----
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    ucfg = tiny_unet_config()
+    vcfg = tiny_vae_config()
+    unet = UNet2DCondition(ucfg)
+    enc, dec = Encoder(vcfg), Decoder(vcfg)
+    H = 64  # latent 8x8: smallest size whose skips align through 3 downsamples
+    h = H // 8
+    k = jax.random.PRNGKey(0)
+    up = unet.init(k, jnp.zeros((1, h, h, 9)), jnp.zeros((1,)), jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+    ep = enc.init(k, jnp.zeros((1, H, H, 3)))
+    dp = dec.init(k, jnp.zeros((1, h, h, 4)))
+
+    def segment_fn(images):  # stub person segmenter: bright-region threshold
+        return (images.mean(-1) > 0.6).astype(jnp.float32)
+
+    def build(segment, steps=50):
+        return AdaptiveMaskInpaintPipeline(
+            unet_fn=lambda lat, t, ctx: unet.apply(up, lat, t, ctx),
+            vae_encode_fn=lambda img: enc.apply(ep, img),
+            vae_decode_fn=lambda lat: dec.apply(dp, lat),
+            segment_fn=segment,
+            config=AdaptiveMaskConfig(num_inference_steps=steps),
+        )
+
+    return build, segment_fn, H
+
+
+def test_pipeline_end_to_end(tiny_pipeline, rng):
+    build, segment_fn, H = tiny_pipeline
+    pipe = build(segment_fn)
+    B = 2
+    init_image = jnp.asarray(rng.uniform(-1, 1, size=(B, H, H, 3)), dtype=jnp.float32)
+    mask = jnp.zeros((B, H, H)).at[:, 8:24, 8:24].set(1.0)
+    ctx = jnp.asarray(rng.normal(size=(B, 7, 32)), dtype=jnp.float32)
+    neg = jnp.zeros_like(ctx)
+    out = jax.jit(pipe.generate)(jax.random.PRNGKey(1), init_image, mask, ctx, neg)
+    assert out.shape == (B, H, H, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_pipeline_baseline_differs_from_adaptive(tiny_pipeline, rng):
+    build, segment_fn, H = tiny_pipeline
+    init_image = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), dtype=jnp.float32)
+    mask = jnp.ones((1, H, H))
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 32)), dtype=jnp.float32)
+    neg = jnp.zeros_like(ctx)
+    key = jax.random.PRNGKey(1)
+    adaptive = build(segment_fn).generate(key, init_image, mask, ctx, neg)
+    baseline = build(None).generate(key, init_image, mask, ctx, neg)
+    # the adaptive path re-encodes mask latents mid-loop -> different output
+    assert np.abs(np.asarray(adaptive) - np.asarray(baseline)).max() > 1e-4
+
+
+def test_pipeline_deterministic_per_seed(tiny_pipeline, rng):
+    build, segment_fn, H = tiny_pipeline
+    pipe = build(segment_fn)
+    init_image = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), dtype=jnp.float32)
+    mask = jnp.ones((1, H, H))
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 32)), dtype=jnp.float32)
+    a = pipe.generate(jax.random.PRNGKey(7), init_image, mask, ctx, jnp.zeros_like(ctx))
+    b = pipe.generate(jax.random.PRNGKey(7), init_image, mask, ctx, jnp.zeros_like(ctx))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = pipe.generate(jax.random.PRNGKey(8), init_image, mask, ctx, jnp.zeros_like(ctx))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-5
