@@ -118,6 +118,9 @@ def _fibonacci(n):
 
 
 def main():
+    from coma_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
     tpu = bench_tpu()
     try:
         baseline = bench_torch_cpu()

@@ -43,3 +43,17 @@ def shard_worklist(items: list, parallel_idx: int, parallel_num: int) -> list:
         return items
     sub = len(items) // parallel_num + 1
     return items[parallel_idx * sub : (parallel_idx + 1) * sub]
+
+
+def enable_compilation_cache(cache_dir: str = None) -> None:
+    """Persist XLA compilations across processes (the big rasterizer/UNet
+    programs take minutes to compile on first use; subsequent runs hit the
+    cache)."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/coma_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

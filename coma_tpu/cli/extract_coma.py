@@ -3,7 +3,12 @@ from __future__ import annotations
 
 import argparse
 
-from coma_tpu.cli._common import add_common_flags, lower_all, seed_everything
+from coma_tpu.cli._common import (
+    add_common_flags,
+    enable_compilation_cache,
+    lower_all,
+    seed_everything,
+)
 from coma_tpu.config.hyperparams import (
     QUAL_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT,
     QUANT_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT,
@@ -38,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
+    enable_compilation_cache()
     results_root = args.human_sample_dir.rsplit("/generation/human_sample", 1)[0]
     run_affordance_extraction(
         hyperparams=get_hyperparams(args.hyperparams_key),
