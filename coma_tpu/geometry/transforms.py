@@ -23,16 +23,21 @@ def rodrigues(rotvec: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Axis-angle vectors ``(..., 3)`` -> rotation matrices ``(..., 3, 3)``.
 
     Reference parity: ``utils/transformations.py:batch_rodrigues`` and
-    ``smplx/lbs.py:batch_rodrigues`` — standard Rodrigues formula,
-    numerically safe at the identity.
+    ``smplx/lbs.py:batch_rodrigues``. Formulated on the UNNORMALIZED axis,
+    R = I + A·K + B·K² with A = sinθ/θ, B = (1-cosθ)/θ², switching to the
+    Taylor expansion near θ = 0 — value AND gradient are exact at the
+    identity (norm-then-normalize is NaN-gradient at zero, which poisons
+    optimizers that start from zero rotations).
     """
-    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    axis = rotvec / jnp.maximum(angle, eps)
-    angle = angle[..., None]  # (..., 1, 1)
+    n2 = jnp.sum(rotvec * rotvec, axis=-1)[..., None, None]
+    ok = n2 > eps * eps
+    theta = jnp.sqrt(jnp.where(ok, n2, 1.0))
+    A = jnp.where(ok, jnp.sin(theta) / theta, 1.0 - n2 / 6.0)
+    B = jnp.where(ok, (1.0 - jnp.cos(theta)) / jnp.where(ok, n2, 1.0), 0.5 - n2 / 24.0)
 
-    K = skew(axis)
+    K = skew(rotvec)  # unnormalized
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rotvec.dtype), K.shape)
-    return eye + jnp.sin(angle) * K + (1.0 - jnp.cos(angle)) * (K @ K)
+    return eye + A * K + B * (K @ K)
 
 
 def skew(v: jax.Array) -> jax.Array:

@@ -1,0 +1,181 @@
+"""COAP-style body occupancy + collision losses.
+
+Reference parity: ``imports/coap/`` — ``attach_coap`` monkey-patches a
+neural-implicit occupancy model (PointNet part encoders + implicit decoder,
+``coap.py:COAPBodyModel:597``: per-part query, bbox gating, max over parts)
+onto an SMPL-X model; the pipeline consumes only ``collision_loss`` =
+Σ relu(occupancy − 0.5) over scene points (``optimize_depth.py:752``,
+``application/optimize.py:301``).
+
+Two interchangeable occupancy backends:
+- :class:`COAPOccupancy` — the neural architecture (ResnetPointnet +
+  ImplicitNet, faithful to ``imports/coap/modules.py``) for loading the
+  published checkpoint (license-gated, user-provided).
+- :func:`capsule_occupancy` — a geometric per-bone capsule field derived
+  from the posed joints: fully differentiable, weight-free, keeps the
+  pipeline runnable without external checkpoints. Smooth occupancy
+  σ((r_bone − dist) / τ) matches COAP's level-set semantics (0.5 at the
+  surface).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+# --------------------------------------------------------------------------
+# Neural backend (architecture for the published weights)
+# --------------------------------------------------------------------------
+
+class ResnetBlockFC(nn.Module):
+    """FC ResNet block (reference: ``imports/coap/modules.py:64-105``)."""
+
+    size_out: int
+    size_h: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        size_h = self.size_h or min(x.shape[-1], self.size_out)
+        net = nn.Dense(size_h, name="fc_0")(nn.relu(x))
+        dx = nn.Dense(self.size_out, name="fc_1")(nn.relu(net))
+        if x.shape[-1] != self.size_out:
+            x = nn.Dense(self.size_out, use_bias=False, name="shortcut")(x)
+        return x + dx
+
+
+class ResnetPointnet(nn.Module):
+    """PointNet encoder with max-pool context (``modules.py:7-62``)."""
+
+    out_dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, p):  # (B, T, dim)
+        def pool_cat(net):
+            pooled = jnp.max(net, axis=1, keepdims=True)
+            return jnp.concatenate(
+                [net, jnp.broadcast_to(pooled, net.shape)], axis=-1
+            )
+
+        net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
+        net = ResnetBlockFC(self.hidden_dim, name="block_0")(net)
+        net = ResnetBlockFC(self.hidden_dim, name="block_1")(pool_cat(net))
+        net = ResnetBlockFC(self.hidden_dim, name="block_3")(pool_cat(net))
+        net = ResnetBlockFC(self.hidden_dim, name="block_4")(pool_cat(net))
+        net = jnp.max(net, axis=1)
+        return nn.Dense(self.out_dim, name="fc_c")(nn.relu(net))
+
+
+class ImplicitNet(nn.Module):
+    """MLP occupancy decoder (``modules.py:108-160``): softplus-100 hidden
+    activations, optional skip connections."""
+
+    dims: Tuple[int, ...] = (512, 512, 512)
+    skip_layers: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        for i, d in enumerate(self.dims):
+            if i in self.skip_layers:
+                x = jnp.concatenate([x, inp], axis=-1) / jnp.sqrt(2.0)
+            x = nn.softplus(nn.Dense(d, name=f"lin_{i}")(x) * 100.0) / 100.0
+        return nn.Dense(1, name="lin_out")(x)[..., 0]
+
+
+@dataclasses.dataclass(frozen=True)
+class COAPConfig:
+    num_parts: int = 24
+    code_dim: int = 64
+    hidden_dim: int = 128
+    level_set: float = 0.5
+
+
+class COAPOccupancy(nn.Module):
+    """Per-part encode + local implicit decode + max over parts.
+
+    Query points must already be in per-part local frames (the bone
+    transforms come from the LBS's relative transforms, as the reference's
+    Partitioner computes them).
+    """
+
+    config: COAPConfig = COAPConfig()
+
+    @nn.compact
+    def __call__(self, part_points, query_local, inside_bbox):
+        """part_points (K, T, 3) canonical part clouds; query_local
+        (K, Q, 3) queries in part frames; inside_bbox (K, Q) gating.
+        Returns (Q,) occupancy in [0, 1]."""
+        cfg = self.config
+        codes = jax.vmap(
+            lambda pts: ResnetPointnet(cfg.code_dim, cfg.hidden_dim, name="encoder")(
+                pts[None]
+            )[0]
+        )(part_points)                                     # (K, code)
+        K, Q, _ = query_local.shape
+        z = jnp.concatenate(
+            [query_local, jnp.broadcast_to(codes[:, None, :], (K, Q, cfg.code_dim))],
+            axis=-1,
+        )
+        raw = ImplicitNet(name="decoder")(z)               # (K, Q)
+        occ = jax.nn.sigmoid(-raw) * inside_bbox
+        return jnp.max(occ, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Geometric capsule backend (weight-free, differentiable)
+# --------------------------------------------------------------------------
+
+def capsule_occupancy(
+    points: jax.Array,        # (Q, 3) query points (world)
+    joints: jax.Array,        # (J, 3) posed joints (world)
+    parents: Tuple[int, ...],
+    radii: Optional[jax.Array] = None,   # (J,) per-bone radius
+    sharpness: float = 30.0,
+) -> jax.Array:
+    """Smooth occupancy of a capsule skeleton: σ(κ(r − d(point, bone))).
+
+    0.5 exactly on the capsule surface (COAP's level set); union via max
+    over bones like COAP's max over parts.
+    """
+    if radii is None:
+        radii = jnp.full((len(parents),), 0.07, dtype=points.dtype)
+
+    def bone_dist(j):
+        parent = parents[j]
+        a = joints[parent if parent >= 0 else j]
+        b = joints[j]
+        ab = b - a
+        denom = jnp.maximum(jnp.sum(ab * ab), 1e-9)
+        t = jnp.clip(((points - a) @ ab) / denom, 0.0, 1.0)
+        closest = a + t[:, None] * ab
+        return jnp.linalg.norm(points - closest, axis=-1)
+
+    dists = jnp.stack([bone_dist(j) for j in range(len(parents))])  # (J, Q)
+    occ = jax.nn.sigmoid(sharpness * (radii[:, None] - dists))
+    return jnp.max(occ, axis=0)
+
+
+def collision_loss(
+    occupancy: jax.Array, level_set: float = 0.5
+) -> jax.Array:
+    """Σ relu(occ − level_set) (reference: ``coap.py:collision_loss:732-742``)."""
+    return jnp.sum(jax.nn.relu(occupancy - level_set))
+
+
+def sample_scene_points_bbox(
+    scene_points: jax.Array,  # (N, 3)
+    verts: jax.Array,         # (V, 3) posed human vertices
+) -> jax.Array:
+    """Mask of scene points within the human's bbox (the reference's cheap
+    pre-filter, ``optimize_depth.py:sample_scene_points:105-124``); returned
+    as a (N,) weight so the jitted loss stays static-shaped."""
+    lo = jnp.min(verts, axis=0)
+    hi = jnp.max(verts, axis=0)
+    inside = jnp.all((scene_points >= lo) & (scene_points <= hi), axis=-1)
+    return inside.astype(scene_points.dtype)
