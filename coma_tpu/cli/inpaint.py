@@ -1,0 +1,223 @@
+"""CLI: adaptive-mask SD inpainting (reference: ``src/generation/inpaint.py``).
+
+Builds the cross-product work list (renders x valid masks x prompts x
+viewpoint augmentations x NUM_IMG_PER_COMBINATION seeds,
+``inpaint.py:188-269``), shards it, and runs the jitted adaptive-mask
+pipeline BATCHED over images (the reference loops one image per call).
+Per-image seeds derive from the inpaint_id (``:308-309``).
+
+Weights: ``--weights_dir`` pointing at converted Flax params (see
+``coma_tpu.models.diffusion.weights``); ``--random_weights`` runs the full
+machinery with random init (mechanical smoke only — outputs are noise).
+"""
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import os
+import pickle
+
+import numpy as np
+
+from coma_tpu.cli._common import (
+    add_common_flags,
+    enable_compilation_cache,
+    lower_all,
+    seed_everything,
+    shard_worklist,
+)
+from coma_tpu.config.prompts import (
+    ALLOWED_VIEWPOINT_AUGMENTATIONS,
+    HF_MODEL_KEYS,
+    NUM_IMG_PER_COMBINATION,
+    SC2DIFFUSERCONFIG,
+    SCV2DIFFUSERCONFIG,
+)
+from coma_tpu.core.paths import unflatten
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_flags(parser)
+    parser.add_argument("--asset_render_dir", type=str, default="results/generation/renders")
+    parser.add_argument("--asset_mask_dir", type=str, default="results/generation/asset_masks")
+    parser.add_argument("--valid_mask_dir", type=str, default="results/generation/valid_masks")
+    parser.add_argument("--prompt_dir", type=str, default="results/generation/prompts")
+    parser.add_argument("--save_dir", type=str, default="results/generation/inpaintings")
+    parser.add_argument("--ldm_model_key", type=str, default="realisticvision",
+                        choices=list(HF_MODEL_KEYS.keys()))
+    parser.add_argument("--adaptive_mask_model_type", type=str, default="p",
+                        choices=["p", "baseline", "ps", "ps_ae", "s_pdb_ae", "s_db_ae", "s_ab_ae"])
+    parser.add_argument("--weights_dir", type=str, help="converted Flax SD params")
+    parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument("--default_ddim_steps", type=int, default=50)
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--negative_prompt", type=str,
+                        default="worst quality, normal quality, low quality, bad anatomy, artifacts, blurry")
+    return parser
+
+
+def build_worklist(args):
+    """(render, mask, prompt+aug, inpaint_id) cross product (reference
+    ``inpaint.py:188-269``); returns list of work dicts."""
+    supercats, cats = lower_all(args.supercategories), lower_all(args.categories)
+    work = []
+    for vm_pth in sorted(_glob.glob(f"{args.valid_mask_dir}/*/*/*/*.pickle")):
+        sc_str, cat_str, asset_id, view_ext = vm_pth.split("/")[-4:]
+        supercategory, category = unflatten(sc_str), unflatten(cat_str)
+        if supercats and supercategory.lower() not in supercats:
+            continue
+        if cats and category.lower() not in cats:
+            continue
+        view_id = view_ext.rsplit(".", 1)[0]
+        with open(vm_pth, "rb") as fh:
+            valid = pickle.load(fh)
+        prompt_pth = f"{args.prompt_dir}/{sc_str}/{cat_str}/{asset_id}/prompts.pickle"
+        if not os.path.exists(prompt_pth):
+            continue
+        with open(prompt_pth, "rb") as fh:
+            prompts = pickle.load(fh)["prompts"]
+
+        view_cfg = SCV2DIFFUSERCONFIG.get(supercategory, {}).get(category, {}).get(view_id, {})
+        augs = view_cfg.get("view_text", ALLOWED_VIEWPOINT_AUGMENTATIONS)
+        sc_cfg = SC2DIFFUSERCONFIG.get(supercategory, {}).get(category, {})
+        strength = sc_cfg.get("strength", 1.0)
+
+        render_pth = f"{args.asset_render_dir}/{sc_str}/{cat_str}/{asset_id}/{view_id}.png"
+        for mask_id in valid["valid_mask_ids"]:
+            mask_pth = f"{args.asset_mask_dir}/{sc_str}/{cat_str}/{asset_id}/{view_id}/{mask_id}.png"
+            for prompt in prompts:
+                for aug in augs:
+                    full_prompt = prompt if aug == "original" else prompt + aug
+                    for inpaint_id in range(args.num_img_per_combination):
+                        out = (
+                            f"{args.save_dir}/{sc_str}/{cat_str}/{asset_id}/{view_id}/"
+                            f"{mask_id}/{full_prompt}/{inpaint_id:05d}.png"
+                        )
+                        if args.skip_done and os.path.exists(out):
+                            continue
+                        work.append(dict(
+                            render=render_pth, mask=mask_pth, prompt=full_prompt,
+                            inpaint_id=inpaint_id, out=out, strength=strength,
+                        ))
+    return work
+
+
+def build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.models.diffusion.clip_text import CLIPTextEncoder
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskConfig,
+        AdaptiveMaskInpaintPipeline,
+    )
+    from coma_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+    from coma_tpu.models.diffusion.vae import Decoder, Encoder, VAEConfig
+    from coma_tpu.models.segmentation import PersonSegmenter
+
+    ucfg = UNetConfig(dtype=jnp.bfloat16)
+    unet = UNet2DCondition(ucfg)
+    vcfg = VAEConfig()
+    enc, dec = Encoder(vcfg), Decoder(vcfg)
+    clip = CLIPTextEncoder()
+    seg = PersonSegmenter()
+
+    if args.weights_dir and os.path.exists(args.weights_dir):
+        from coma_tpu.models.diffusion.weights import load_sd_params
+
+        params = load_sd_params(args.weights_dir)
+    elif args.random_weights:
+        k = jax.random.PRNGKey(0)
+        params = dict(
+            unet=unet.init(k, jnp.zeros((1, 64, 64, 9), jnp.bfloat16),
+                           jnp.zeros((1,)), jnp.zeros((1, 77, 768), jnp.bfloat16)),
+            vae_encoder=enc.init(k, jnp.zeros((1, 512, 512, 3))),
+            vae_decoder=dec.init(k, jnp.zeros((1, 64, 64, 4))),
+            clip=clip.init(k, jnp.zeros((1, 77), jnp.int32)),
+            segmenter=seg.init(k, jnp.zeros((1, 512, 512, 3))),
+            tokenizer=None,
+        )
+    else:
+        raise SystemExit("pass --weights_dir or --random_weights")
+
+    segment_fn = None
+    if args.adaptive_mask_model_type != "baseline":
+        segment_fn = lambda imgs: (
+            jax.nn.sigmoid(seg.apply(params["segmenter"], imgs)) >= 0.5
+        ).astype(jnp.float32)
+
+    pipe = AdaptiveMaskInpaintPipeline(
+        unet_fn=lambda lat, t, ctx: unet.apply(
+            params["unet"], lat.astype(jnp.bfloat16), t, ctx.astype(jnp.bfloat16)
+        ).astype(jnp.float32),
+        vae_encode_fn=lambda img: enc.apply(params["vae_encoder"], img),
+        vae_decode_fn=lambda lat: dec.apply(params["vae_decoder"], lat),
+        segment_fn=segment_fn,
+        config=AdaptiveMaskConfig(
+            num_inference_steps=args.default_ddim_steps,
+            guidance_scale=args.guidance_scale,
+            use_adaptive_mask=args.adaptive_mask_model_type != "baseline",
+        ),
+    )
+
+    def encode_prompts(texts):
+        tok = params.get("tokenizer")
+        if tok is None:
+            # random-weights smoke: hash prompts into token ids deterministically
+            ids = np.zeros((len(texts), 77), np.int32)
+            for i, t in enumerate(texts):
+                rng = np.random.default_rng(abs(hash(t)) % (2**32))
+                ids[i] = rng.integers(0, 1000, size=77)
+        else:
+            ids = tok(texts)
+        return clip.apply(params["clip"], jnp.asarray(ids))
+
+    return pipe, encode_prompts
+
+
+def main(argv=None) -> None:
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    args = build_parser().parse_args(argv)
+    seed_everything(args.seed)
+    enable_compilation_cache()
+
+    work = shard_worklist(build_worklist(args), args.parallel_idx, args.parallel_num)
+    if not work:
+        print("[inpaint] nothing to do")
+        return
+    pipe, encode_prompts = build_pipeline(args)
+    generate = jax.jit(pipe.generate)
+
+    for i in range(0, len(work), args.batch_size):
+        chunk = work[i : i + args.batch_size]
+        imgs = np.stack([
+            np.asarray(Image.open(w["render"]).convert("RGB").resize((512, 512)), np.float32)
+            / 127.5 - 1.0
+            for w in chunk
+        ])
+        masks = np.stack([
+            (np.asarray(Image.open(w["mask"]).convert("L").resize((512, 512))) > 127)
+            .astype(np.float32)
+            for w in chunk
+        ])
+        ctx = encode_prompts([w["prompt"] for w in chunk])
+        neg = encode_prompts([args.negative_prompt] * len(chunk))
+        # per-image generator seed = inpaint_id (reference :308-309), folded
+        # with the global seed
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
+        out = generate(key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
+        out_np = (np.asarray(out) * 255).astype(np.uint8)
+        for w, img in zip(chunk, out_np):
+            os.makedirs(os.path.dirname(w["out"]), exist_ok=True)
+            Image.fromarray(img).save(w["out"])
+        print(f"[inpaint] {min(i + args.batch_size, len(work))}/{len(work)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,17 @@ def convert_cam2real(
         v - jnp.asarray([W / 2.0, H / 2.0, 0.0], v.dtype)
     ) / m * camera.scale
     return v @ (_gl2bl(v.dtype) @ camera.R.T) + camera.t
+
+
+def pixels_to_world(points_px: jax.Array, camera: OrthoCamera) -> jax.Array:
+    """Pixel-scale points (..., 3) -> world (the inverse of project_points).
+
+    Reference: ``initialize_depth.py:311-319`` — (p - res/2)/max(res)·scale
+    (z un-centered), then ``@ (GL2BL @ R.T) + t``.
+    """
+    W, H = camera.resolution
+    m = float(max(camera.resolution))
+    p = (
+        points_px - jnp.asarray([W / 2.0, H / 2.0, 0.0], points_px.dtype)
+    ) / m * camera.scale
+    return p @ (_gl2bl(p.dtype) @ camera.R.T) + camera.t

@@ -68,15 +68,22 @@ def initialize_depth_for_sample(
     displacements: jax.Array,   # (C,) candidate magnitudes along camera front
     occluder_verts: Optional[jax.Array] = None,  # asset (+ground) geometry
     occluder_faces: Optional[jax.Array] = None,
+    direction: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Render every depth candidate, pick argmax (IoU, -|dist from center|).
 
     The occluders are what make depth observable under an orthographic
     camera: the reference renders the candidate human INTO the scene (asset
-    + ground plane) so the instance segmap loses the occluded parts. Returns
-    dict(best_index, best_iou, best_displacement, ious).
+    + ground plane) so the instance segmap loses the occluded parts.
+    ``direction`` defaults to the reference's convention R[:, 2]
+    (``initialize_depth.py:306`` — NOT the viewing direction −R[:, 2]); the
+    same vector must be used for the nearest-point distance, the candidates,
+    and the downstream optimizer. Returns dict(best_index, best_iou,
+    best_displacement, ious, best_verts).
     """
-    direction = camera.front / jnp.linalg.norm(camera.front)
+    if direction is None:
+        direction = camera.R[:, 2]
+    direction = direction / jnp.linalg.norm(direction)
     cand_verts = human_verts[None] + displacements[:, None, None] * direction[None, None]
     masks = render_silhouettes_batch(
         camera, cand_verts, human_faces,

@@ -76,18 +76,22 @@ def mine_ransac_inliers(
 
     # RANSAC vote: reproject candidate i's triangulation into candidate j's
     # view, compare against j's own 2-D joints
-    def vote_row(i):
-        X = tri[keep[i]]
+    keep_j = jnp.asarray(keep)
+    tri_keep = tri[keep_j]           # (K, J, 3)
+    Rs_keep = Rs[keep_j]
+    ts_keep = ts[keep_j]
+    joints_keep = cand_joints_2d[keep_j]
 
+    def vote_row(X):
         def err_j(Rc, tc, joints_c):
             cam = OrthoCamera(R=Rc, t=tc, scale=scale, resolution=resolution)
             return jnp.mean(
                 jnp.sum((project_points(cam, X)[:, :2] - joints_c) ** 2, -1)
             )
 
-        return jax.vmap(err_j)(Rs[keep], ts[keep], cand_joints_2d[keep])
+        return jax.vmap(err_j)(Rs_keep, ts_keep, joints_keep)
 
-    errors = jax.vmap(vote_row)(jnp.arange(K))        # (K, K)
+    errors = jax.vmap(vote_row)(tri_keep)             # (K, K)
     votes = np.asarray(errors) < ransac_threshold     # (K, K) bool
     counts = votes.sum(axis=1)
     best = int(np.argmax(counts))

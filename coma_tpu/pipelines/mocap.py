@@ -66,6 +66,7 @@ class MocapOutput:
     faces: np.ndarray               # (F, 3)
     smplx_data: Dict[str, np.ndarray]
     joints_proj: np.ndarray         # (J, 2) pixel-space joints
+    joints_img: np.ndarray          # (J, 3) pixel-space joints WITH depth
     convert_data: Dict[str, Any]    # focals, princpt, z_mean
 
 
@@ -165,5 +166,6 @@ def convert_mesh_to_image_space(
         faces=faces.astype(np.int64),
         smplx_data=smplx_data,
         joints_proj=joints_img[:, :2].copy(),
+        joints_img=joints_img.copy(),
         convert_data=dict(focals=focal, princpt=princpt, z_mean=z_mean),
     )

@@ -153,6 +153,7 @@ def test_depth_init_recovers_offset():
     out = initialize_depth_for_sample(
         cam, verts_start, faces, gt_mask, displacements,
         occluder_verts=occ_verts, occluder_faces=faces,
+        direction=direction,  # the test's frame uses the viewing direction
     )
     ious = np.asarray(out["ious"])
     # the candidate that pops in FRONT of the occluder shows more silhouette
