@@ -1,0 +1,201 @@
+"""Tests for the diffusers->Flax weight mapping (synthetic checkpoints)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coma_tpu.models.diffusion.clip_text import CLIPTextEncoder, tiny_clip_config
+from coma_tpu.models.diffusion.unet import UNet2DCondition, tiny_unet_config
+from coma_tpu.models.diffusion.vae import Decoder, Encoder, tiny_vae_config
+from coma_tpu.models.diffusion.weights import (
+    convert_clip_text,
+    convert_unet,
+    convert_vae,
+)
+
+
+def flax_to_torch_sd(tree, prefix="", renames=None):
+    """Invert the converter's shape conventions to fabricate a torch-style
+    state dict from a flax param tree (for round-trip testing)."""
+    sd = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and "kernel" in node:
+            k = np.asarray(node["kernel"])
+            name = renames(path) if renames else path
+            if k.ndim == 4:   # conv: (kh, kw, I, O) -> (O, I, kh, kw)
+                sd[f"{name}.weight"] = np.transpose(k, (3, 2, 0, 1))
+            else:             # dense: (I, O) -> (O, I)
+                sd[f"{name}.weight"] = k.T
+            if "bias" in node:
+                sd[f"{name}.bias"] = np.asarray(node["bias"])
+        elif isinstance(node, dict) and "scale" in node:
+            name = renames(path) if renames else path
+            sd[f"{name}.weight"] = np.asarray(node["scale"])
+            sd[f"{name}.bias"] = np.asarray(node["bias"])
+        elif isinstance(node, dict) and "embedding" in node:
+            name = renames(path) if renames else path
+            sd[f"{name}.weight"] = np.asarray(node["embedding"])
+        elif isinstance(node, dict):
+            for key, sub in node.items():
+                walk(sub, f"{path}.{key}" if path else key)
+        else:
+            name = renames(path) if renames else path
+            sd[f"{name}.weight"] = np.asarray(node)
+
+    walk(tree, prefix)
+    return sd
+
+
+def unet_rename(path: str) -> str:
+    """Our flax param path -> the diffusers name the converter expects."""
+    import re
+
+    p = path
+    p = p.replace("time_embed_0", "time_embedding.linear_1")
+    p = p.replace("time_embed_2", "time_embedding.linear_2")
+    p = re.sub(r"down_(\d+)_res_(\d+)", r"down_blocks.\1.resnets.\2", p)
+    p = re.sub(r"down_(\d+)_attn_(\d+)", r"down_blocks.\1.attentions.\2", p)
+    p = re.sub(r"down_(\d+)_downsample\.conv", r"down_blocks.\1.downsamplers.0.conv", p)
+    p = p.replace("mid_res_0", "mid_block.resnets.0")
+    p = p.replace("mid_res_1", "mid_block.resnets.1")
+    p = p.replace("mid_attn", "mid_block.attentions.0")
+
+    def up(m):
+        k = 3 - int(m.group(1))  # ours up_i == diffusers up_blocks[3 - i]
+        return f"up_blocks.{k}.{m.group(2)}"
+
+    p = re.sub(r"up_(\d+)_res_(\d+)", lambda m: up_sub(m, "resnets"), p)
+    p = re.sub(r"up_(\d+)_attn_(\d+)", lambda m: up_sub(m, "attentions"), p)
+    p = re.sub(r"up_(\d+)_upsample\.conv", lambda m: f"up_blocks.{3 - int(m.group(1))}.upsamplers.0.conv", p)
+    p = p.replace("block0.", "transformer_blocks.0.")
+    p = p.replace("ff.proj_in", "ff.net.0.proj")
+    p = p.replace("ff.proj_out", "ff.net.2")
+    p = re.sub(r"attn(\d)\.to_out", r"attn\1.to_out.0", p)
+    return p
+
+
+def up_sub(m, kind):
+    k = 3 - int(m.group(1))
+    return f"up_blocks.{k}.{kind}.{m.group(2)}"
+
+
+def test_unet_roundtrip(rng):
+    cfg = tiny_unet_config()
+    model = UNet2DCondition(cfg)
+    lat = jnp.asarray(rng.normal(size=(1, 8, 8, 9)), jnp.float32)
+    t = jnp.asarray([10.0])
+    ctx = jnp.asarray(rng.normal(size=(1, 7, cfg.cross_attention_dim)), jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), lat, t, ctx)
+
+    sd = flax_to_torch_sd(ref["params"], renames=unet_rename)
+    got = convert_unet(sd, cfg, dtype=jnp.float32)
+
+    # identical tree structure AND values
+    ref_leaves = jax.tree.leaves_with_path(ref)
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    ref_flat = dict(jax.tree_util.tree_flatten_with_path(ref)[0])
+    assert set(map(str, got_flat.keys())) == set(map(str, ref_flat.keys()))
+    for k, v in ref_flat.items():
+        np.testing.assert_array_equal(np.asarray(got_flat[k]), np.asarray(v))
+
+    out_ref = model.apply(ref, lat, t, ctx)
+    out_got = model.apply(got, lat, t, ctx)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_got))
+
+
+def vae_rename(which):
+    import re
+
+    def rename(path):
+        p = path
+        p = re.sub(r"down_(\d+)_res_(\d+)", r"down_blocks.\1.resnets.\2", p)
+        p = re.sub(r"down_(\d+)_downsample", r"down_blocks.\1.downsamplers.0.conv", p)
+        p = re.sub(r"up_(\d+)_res_(\d+)", lambda m: f"up_blocks.{3 - int(m.group(1))}.resnets.{m.group(2)}", p)
+        p = re.sub(r"up_(\d+)_upsample", lambda m: f"up_blocks.{3 - int(m.group(1))}.upsamplers.0.conv", p)
+        p = p.replace("mid_res_0", "mid_block.resnets.0")
+        p = p.replace("mid_res_1", "mid_block.resnets.1")
+        p = p.replace("mid_attn", "mid_block.attentions.0")
+        p = re.sub(r"mid_block.attentions.0\.to_out", "mid_block.attentions.0.to_out.0", p)
+        if p in ("quant_conv", "post_quant_conv"):
+            return p
+        return f"{which}.{p}"
+
+    return rename
+
+
+def test_vae_roundtrip(rng):
+    cfg = tiny_vae_config()
+    enc, dec = Encoder(cfg), Decoder(cfg)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    ep = enc.init(jax.random.PRNGKey(0), img)
+    lat = jnp.asarray(rng.normal(size=(1, 4, 4, 4)), jnp.float32)
+    dp = dec.init(jax.random.PRNGKey(1), lat)
+
+    sd = {}
+    sd.update(flax_to_torch_sd(ep["params"], renames=vae_rename("encoder")))
+    sd.update(flax_to_torch_sd(dp["params"], renames=vae_rename("decoder")))
+    enc_got, dec_got = convert_vae(sd, cfg)
+
+    np.testing.assert_array_equal(
+        np.asarray(enc.apply(enc_got, img)), np.asarray(enc.apply(ep, img))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec.apply(dec_got, lat)), np.asarray(dec.apply(dp, lat))
+    )
+
+
+def clip_rename(path):
+    import re
+
+    p = path
+    p = p.replace("token_embedding", "embeddings.token_embedding")
+    p = re.sub(r"^position_embedding$", "embeddings.position_embedding", p)
+    p = re.sub(r"layer_(\d+)", r"encoder.layers.\1", p)
+    p = p.replace("fc1", "mlp.fc1").replace("fc2", "mlp.fc2")
+    return f"text_model.{p}"
+
+
+def test_clip_roundtrip(rng):
+    cfg = tiny_clip_config()
+    model = CLIPTextEncoder(cfg)
+    ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), ids)
+    sd = flax_to_torch_sd(ref["params"], renames=clip_rename)
+    got = convert_clip_text(sd, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(model.apply(got, ids)), np.asarray(model.apply(ref, ids))
+    )
+
+
+def test_tokenizer_basic(tmp_path):
+    import json
+
+    from coma_tpu.models.diffusion.tokenizer import CLIPTokenizer
+
+    # a miniature CLIP-style vocab
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for tok in ["a</w>", "person</w>", "p", "er", "s", "on", "pers", "on</w>"]:
+        vocab.setdefault(tok, len(vocab))
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        vocab.setdefault(ch, len(vocab))
+        vocab.setdefault(ch + "</w>", len(vocab))
+    merges = ["p e", "pe r", "o n", "on </w>", "per s", "pers on</w>"]
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    with open(vp, "w") as fh:
+        json.dump(vocab, fh)
+    with open(mp, "w") as fh:
+        fh.write("#version\n" + "\n".join(merges))
+    # vocab needs merge intermediates
+    for t in ["pe", "per", "pers", "person</w>"]:
+        vocab.setdefault(t, len(vocab))
+    with open(vp, "w") as fh:
+        json.dump(vocab, fh)
+
+    tok = CLIPTokenizer(vp, mp)
+    ids = tok("a person")
+    assert ids.shape == (1, 77)
+    assert ids[0, 0] == 0  # BOS
+    assert 1 in ids[0]     # EOS present
+    decoded = [tok.decoder[i] for i in ids[0] if i not in (0, 1)]
+    assert decoded[0] == "a</w>"
