@@ -1,0 +1,113 @@
+"""Tests for the BEHAVE toolkit + GT evaluation path."""
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from coma_tpu.affordance.contact import contact_update
+from coma_tpu.affordance.state import init_coma_state
+from coma_tpu.pipelines.behave_eval import (
+    KinectCalib,
+    evaluate_against_gt,
+    prepare_affordance_extraction_inputs_for_behave,
+)
+from tests.test_geometry import CUBE_F, CUBE_V
+
+
+def make_calib():
+    return KinectCalib.from_json({
+        "color": dict(fx=900.0, fy=900.0, cx=1024.0, cy=768.0, width=2048,
+                      height=1536, opencv=[0, 0, 0, 0, 0.1, -0.05, 0, 0, 0, 0, 0, 0, 0]),
+        "depth": dict(fx=500.0, fy=500.0, cx=256.0, cy=256.0, width=512,
+                      height=512, opencv=[0] * 12),
+        "depth_to_color": dict(rotation=list(np.eye(3).ravel()), translation=[0, 0, 0]),
+        "color_to_depth": dict(rotation=list(np.eye(3).ravel()), translation=[0, 0, 0]),
+    })
+
+
+def test_kinect_projection_center():
+    calib = make_calib()
+    px = calib.project_points(np.array([[0.0, 0.0, 2.0]]))
+    np.testing.assert_allclose(px[0], [1024.0, 768.0], atol=1e-6)
+    # off-axis point lands off-center, distortion bends it
+    px2 = calib.project_points(np.array([[0.5, 0.0, 2.0]]))
+    assert px2[0, 0] > 1024.0
+
+
+def test_dmap2pc():
+    calib = make_calib()
+    calib.pc_table = np.ones((4, 4, 2)) * 0.5
+    depth = np.full((4, 4), 1000, np.uint16)  # 1 m everywhere
+    depth[0, 0] = 0
+    pc = calib.dmap2pc(depth)
+    assert pc.shape == (15, 3)
+    np.testing.assert_allclose(pc[0], [0.5, 0.5, 1.0])
+
+
+def test_behave_gt_prep(tmp_path, rng):
+    # human pickle
+    hv = CUBE_V * 0.5 + [1.0, 0.0, 0.0]
+    with open(tmp_path / "human.pickle", "wb") as fh:
+        pickle.dump(dict(verts=hv, faces=CUBE_F), fh)
+    # downsample metadata
+    human_meta = dict(downsample_indices=list(range(8)), N=8)
+    obj_meta = dict(
+        obj_vertices_original=CUBE_V,
+        obj_faces_original=CUBE_F,
+        obj_vertex_normals_original=rng.normal(size=(8, 3)),
+        downsample_indices=list(range(8)),
+        N=8, N_raw=8,
+        downsampled_pcd_points_raw=CUBE_V.copy(),
+        downsampled_pcd_normal_raw=rng.normal(size=(8, 3)),
+    )
+    # canonicalization pickles
+    with open(tmp_path / "center.pickle", "wb") as fh:
+        pickle.dump(dict(obj_lowres_center=np.array([0.5, 0.5, 0.5])), fh)
+    with open(tmp_path / "r2n.pickle", "wb") as fh:
+        pickle.dump(dict(R_raw2normal=np.eye(3), t_raw2normal=np.zeros(3)), fh)
+    angle = np.array([0.0, 0.0, np.pi / 2])
+    with open(tmp_path / "fit.pickle", "wb") as fh:
+        pickle.dump(dict(angle=angle, trans=np.array([1.0, 2.0, 3.0])), fh)
+
+    out = prepare_affordance_extraction_inputs_for_behave(
+        human_mesh_pth=str(tmp_path / "human.pickle"),
+        human_mesh_pth_type="pickle",
+        human_downsample_metadata=human_meta,
+        object_downsample_metadata=obj_meta,
+        human_use_downsample_pcd_raw=False,
+        object_use_downsample_pcd_raw=True,
+        lowres_center_pth=str(tmp_path / "center.pickle"),
+        raw2normal_pth=str(tmp_path / "r2n.pickle"),
+        obj_param_pth=str(tmp_path / "fit.pickle"),
+        eps=1e-8,
+    )
+    assert out["human_verts"].shape == (8, 3)
+    assert out["obj_verts"].shape == (8, 3)
+    # the centered cube corner (-0.5,-0.5,-0.5) rotated 90° about z -> (0.5,-0.5,-0.5),
+    # then translated by (1,2,3)
+    np.testing.assert_allclose(out["obj_verts"][0], [1.5, 1.5, 2.5], atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["obj_normals"], axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_evaluate_against_gt(rng):
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    def agg(seed):
+        state = init_coma_state(8, 6, 16, 0.07, 0.5)
+        r = np.random.default_rng(seed)
+        return contact_update(
+            state,
+            jnp.asarray(r.normal(size=(8, 3)) * 0.1, jnp.float32),
+            jnp.asarray(unit(r.normal(size=(8, 3))), jnp.float32),
+            jnp.asarray(r.normal(size=(6, 3)) * 0.1, jnp.float32),
+            jnp.asarray(unit(r.normal(size=(6, 3))), jnp.float32),
+        )
+
+    same = evaluate_against_gt(agg(0), agg(0))
+    assert abs(same["aggr_human_contact_metrics"]["sim"] - 1.0) < 1e-5
+    assert same["aggr_human_contact_metrics"]["mae"] < 1e-8
+    diff = evaluate_against_gt(agg(0), agg(1))
+    assert diff["aggr_object_contact_metrics"]["sim"] < 1.0
