@@ -100,6 +100,59 @@ def aggregate_samples_tpu(state, samples: List[Dict[str, np.ndarray]], occupancy
     return jax.jit(contact_update_batch)(state, hv, hn, ov, on)
 
 
+def aggregate_samples_streaming(
+    state, keys, prepare_fn, occupancy: bool, batch_size: int = 16,
+    num_workers: int = 4,
+):
+    """Stream samples through a prefetching loader; the TPU aggregates batch
+    k while workers load batch k+1 (vs the reference's strictly serial
+    unpickle->prep->update loop, ``extract_coma.py:383-425``).
+
+    Returns (state, num_samples).
+    """
+    from coma_tpu.pipelines.loader import PrefetchingSampleLoader
+
+    multi = len(jax.devices()) > 1
+    if occupancy:
+        step = (
+            sharded_occupancy_aggregate if multi
+            else jax.jit(occupancy_update_batch)
+        )
+    elif multi:
+        step = sharded_contact_aggregate
+    elif jax.default_backend() != "cpu":
+        from coma_tpu.ops.contact_kernel import fused_contact_update_batch
+
+        step = jax.jit(fused_contact_update_batch)
+    else:
+        step = jax.jit(contact_update_batch)
+
+    loader = PrefetchingSampleLoader(
+        keys, prepare_fn, batch_size=batch_size, num_workers=num_workers
+    )
+    n = 0
+    for batch in loader:
+        valid = jnp.asarray(batch["valid"])
+        n += int(batch["valid"].sum())
+        if occupancy:
+            state = step(
+                state,
+                jnp.asarray(batch["human_verts"]),
+                jnp.asarray(batch["obj_verts"]),
+                valid=valid,
+            )
+        else:
+            state = step(
+                state,
+                jnp.asarray(batch["human_verts"]),
+                jnp.asarray(batch["human_normals"]),
+                jnp.asarray(batch["obj_verts"]),
+                jnp.asarray(batch["obj_normals"]),
+                valid=valid,
+            )
+    return state, n
+
+
 def run_affordance_extraction(
     hyperparams: Dict[str, Any],
     hyperparams_key: str,
@@ -160,9 +213,8 @@ def run_affordance_extraction(
                 else load_coma_state(coma_pickle)
             )
         else:
-            samples = []
-            for key in keys:
-                prepped = prepare_affordance_extraction_inputs(
+            def prepare_one(key):
+                return prepare_affordance_extraction_inputs(
                     human_mesh_pth=tree.human_sample(key),
                     human_downsample_metadata=human_downsample,
                     object_downsample_metadata=object_downsample,
@@ -178,12 +230,6 @@ def run_affordance_extraction(
                     camera_pth=tree.camera(sc, cat, asset, key.view_id),
                     human_params_pth=tree.human_pred(key),
                 )
-                if prepped is not None:
-                    samples.append(prepped)
-            if not samples:
-                if verbose:
-                    print(f"[extract] {scam}: no surviving samples, skipping")
-                continue
 
             if occupancy:
                 state = init_occupancy_state(
@@ -204,7 +250,13 @@ def run_affordance_extraction(
                     sub_principle_vec=hyperparams["sub_principle_vec"],
                     eps=hyperparams["eps"],
                 )
-            state = aggregate_samples_tpu(state, samples, occupancy)
+            state, n_samples = aggregate_samples_streaming(
+                state, keys, prepare_one, occupancy
+            )
+            if n_samples == 0:
+                if verbose:
+                    print(f"[extract] {scam}: no surviving samples, skipping")
+                continue
 
             os.makedirs(os.path.dirname(coma_pickle), exist_ok=True)
             if occupancy:
@@ -213,13 +265,13 @@ def run_affordance_extraction(
                 save_coma_state(state, coma_pickle)
             info = dict(hyperparams)
             info.update(
-                H=H, O=O, num_samples=len(samples),
+                H=H, O=O, num_samples=n_samples,
                 supercategory=sc, category=cat, asset_id=asset, mainprompt=mainprompt,
             )
             with open(coma_json, "w") as wf:
                 json.dump(info, wf, indent=1, default=str)
             if verbose:
-                print(f"[extract] {scam}: aggregated {len(samples)} samples "
+                print(f"[extract] {scam}: aggregated {n_samples} samples "
                       f"(H={H}, O={O}) -> {coma_pickle}")
 
         if visualize_type != "none":
