@@ -26,7 +26,11 @@ def _flash_supported(q, k) -> bool:
         return False
     Lq, Lk = q.shape[2], k.shape[2]
     D = q.shape[3]
-    # the TPU kernel wants block-aligned seq lens and lane-aligned head dim
+    # The TPU kernel wants block-aligned seq lens and lane-aligned head dim.
+    # Measured on v5e: at SD-1.x head dims the lane padding makes flash
+    # SLOWER than the XLA einsum path (L=4096 D=40: 17.8 ms vs 7.5 ms;
+    # L=1024 D=80: 4.9 ms vs 3.5 ms), so the D % 128 gate is also the
+    # performance-correct routing, not just a constraint.
     return Lq == Lk and Lq >= 1024 and Lq % 512 == 0 and D % 128 == 0
 
 

@@ -111,3 +111,26 @@ def test_evaluate_against_gt(rng):
     assert same["aggr_human_contact_metrics"]["mae"] < 1e-8
     diff = evaluate_against_gt(agg(0), agg(1))
     assert diff["aggr_object_contact_metrics"]["sim"] < 1.0
+
+
+def test_evaluate_cli(tmp_path, rng):
+    from coma_tpu.affordance.io import save_coma_state
+    from coma_tpu.cli import evaluate as cli_eval
+
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    state = init_coma_state(8, 6, 16, 0.07, 0.5)
+    state = contact_update(
+        state,
+        jnp.asarray(rng.normal(size=(8, 3)) * 0.1, jnp.float32),
+        jnp.asarray(unit(rng.normal(size=(8, 3))), jnp.float32),
+        jnp.asarray(rng.normal(size=(6, 3)) * 0.1, jnp.float32),
+        jnp.asarray(unit(rng.normal(size=(6, 3))), jnp.float32),
+    )
+    p = str(tmp_path / "coma.pickle")
+    save_coma_state(state, p)
+    out = str(tmp_path / "metrics.json")
+    cli_eval.main(["--pred_coma", p, "--gt_coma", p, "--out_json", out])
+    import json
+
+    metrics = json.load(open(out))
+    assert abs(metrics["aggr_human_contact_metrics"]["sim"] - 1.0) < 1e-5
