@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["p", "baseline", "ps", "ps_ae", "s_pdb_ae", "s_db_ae", "s_ab_ae"])
     parser.add_argument("--weights_dir", type=str, help="converted Flax SD params")
     parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny model configs at 64x64 (hermetic smoke runs)")
     parser.add_argument("--default_ddim_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
@@ -109,20 +111,34 @@ def build_pipeline(args):
     import jax
     import jax.numpy as jnp
 
-    from coma_tpu.models.diffusion.clip_text import CLIPTextEncoder
+    from coma_tpu.models.diffusion.clip_text import (
+        CLIPTextEncoder,
+        tiny_clip_config,
+    )
     from coma_tpu.models.diffusion.pipeline import (
         AdaptiveMaskConfig,
         AdaptiveMaskInpaintPipeline,
     )
-    from coma_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
-    from coma_tpu.models.diffusion.vae import Decoder, Encoder, VAEConfig
+    from coma_tpu.models.diffusion.unet import (
+        UNet2DCondition,
+        UNetConfig,
+        tiny_unet_config,
+    )
+    from coma_tpu.models.diffusion.vae import (
+        Decoder,
+        Encoder,
+        VAEConfig,
+        tiny_vae_config,
+    )
     from coma_tpu.models.segmentation import PersonSegmenter
 
-    ucfg = UNetConfig(dtype=jnp.bfloat16)
+    res = 64 if args.tiny else 512
+    h = res // 8
+    ucfg = tiny_unet_config() if args.tiny else UNetConfig(dtype=jnp.bfloat16)
     unet = UNet2DCondition(ucfg)
-    vcfg = VAEConfig()
+    vcfg = tiny_vae_config() if args.tiny else VAEConfig()
     enc, dec = Encoder(vcfg), Decoder(vcfg)
-    clip = CLIPTextEncoder()
+    clip = CLIPTextEncoder(tiny_clip_config()) if args.tiny else CLIPTextEncoder()
     seg = PersonSegmenter()
 
     if args.weights_dir and os.path.exists(args.weights_dir):
@@ -132,12 +148,13 @@ def build_pipeline(args):
     elif args.random_weights:
         k = jax.random.PRNGKey(0)
         params = dict(
-            unet=unet.init(k, jnp.zeros((1, 64, 64, 9), jnp.bfloat16),
-                           jnp.zeros((1,)), jnp.zeros((1, 77, 768), jnp.bfloat16)),
-            vae_encoder=enc.init(k, jnp.zeros((1, 512, 512, 3))),
-            vae_decoder=dec.init(k, jnp.zeros((1, 64, 64, 4))),
+            unet=unet.init(k, jnp.zeros((1, h, h, 9), ucfg.dtype),
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype)),
+            vae_encoder=enc.init(k, jnp.zeros((1, res, res, 3))),
+            vae_decoder=dec.init(k, jnp.zeros((1, h, h, 4))),
             clip=clip.init(k, jnp.zeros((1, 77), jnp.int32)),
-            segmenter=seg.init(k, jnp.zeros((1, 512, 512, 3))),
+            segmenter=seg.init(k, jnp.zeros((1, res, res, 3))),
             tokenizer=None,
         )
     else:
@@ -151,7 +168,7 @@ def build_pipeline(args):
 
     pipe = AdaptiveMaskInpaintPipeline(
         unet_fn=lambda lat, t, ctx: unet.apply(
-            params["unet"], lat.astype(jnp.bfloat16), t, ctx.astype(jnp.bfloat16)
+            params["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
         ).astype(jnp.float32),
         vae_encode_fn=lambda img: enc.apply(params["vae_encoder"], img),
         vae_decode_fn=lambda lat: dec.apply(params["vae_decoder"], lat),
@@ -175,7 +192,7 @@ def build_pipeline(args):
             ids = tok(texts)
         return clip.apply(params["clip"], jnp.asarray(ids))
 
-    return pipe, encode_prompts
+    return pipe, encode_prompts, res
 
 
 def main(argv=None) -> None:
@@ -191,18 +208,18 @@ def main(argv=None) -> None:
     if not work:
         print("[inpaint] nothing to do")
         return
-    pipe, encode_prompts = build_pipeline(args)
+    pipe, encode_prompts, res = build_pipeline(args)
     generate = jax.jit(pipe.generate)
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
         imgs = np.stack([
-            np.asarray(Image.open(w["render"]).convert("RGB").resize((512, 512)), np.float32)
+            np.asarray(Image.open(w["render"]).convert("RGB").resize((res, res)), np.float32)
             / 127.5 - 1.0
             for w in chunk
         ])
         masks = np.stack([
-            (np.asarray(Image.open(w["mask"]).convert("L").resize((512, 512))) > 127)
+            (np.asarray(Image.open(w["mask"]).convert("L").resize((res, res))) > 127)
             .astype(np.float32)
             for w in chunk
         ])
