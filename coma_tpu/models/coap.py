@@ -72,57 +72,91 @@ class ResnetPointnet(nn.Module):
 
 
 class ImplicitNet(nn.Module):
-    """MLP occupancy decoder (``modules.py:108-160``): softplus-100 hidden
-    activations, optional skip connections."""
+    """IGR-style MLP (``modules.py:108-165``): softplus(beta=100) hidden
+    activations, skip connections that re-concatenate the input.
 
-    dims: Tuple[int, ...] = (512, 512, 512)
-    skip_layers: Tuple[int, ...] = ()
+    Layer ``lin{i}`` sizing follows the reference exactly: when layer i+1 is
+    a skip layer, lin{i}'s output is ``dims[i+1] - d_in`` so the concatenated
+    width comes back to ``dims[i+1]``. No activation after the final layer.
+    """
+
+    d_out: int = 1
+    dims: Tuple[int, ...] = (256, 256, 256)
+    skip_in: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x):
         inp = x
-        for i, d in enumerate(self.dims):
-            if i in self.skip_layers:
+        d_in = x.shape[-1]
+        all_dims = (d_in,) + tuple(self.dims) + (self.d_out,)
+        n_layers = len(all_dims) - 1
+        for layer in range(n_layers):
+            out_dim = all_dims[layer + 1]
+            if layer + 1 in self.skip_in:
+                out_dim -= d_in
+            if layer in self.skip_in:
                 x = jnp.concatenate([x, inp], axis=-1) / jnp.sqrt(2.0)
-            x = nn.softplus(nn.Dense(d, name=f"lin_{i}")(x) * 100.0) / 100.0
-        return nn.Dense(1, name="lin_out")(x)[..., 0]
+            x = nn.Dense(out_dim, name=f"lin{layer}")(x)
+            if layer < n_layers - 1:
+                x = nn.softplus(x * 100.0) / 100.0
+        return x
 
 
 @dataclasses.dataclass(frozen=True)
 class COAPConfig:
-    num_parts: int = 24
-    code_dim: int = 64
+    """Published-checkpoint hyperparameters (``coap.py:602-620``)."""
+
+    num_parts: int = 20            # SMPL-X after MERGE_BODY_PARTS
+    code_dim: int = 128
     hidden_dim: int = 128
+    query_dims: Tuple[int, ...] = (256, 256, 256)
+    query_skip: Tuple[int, ...] = (2,)
+    query_out: int = 128
+    decoder_dims: Tuple[int, ...] = (256, 256, 256, 256, 256, 256)
+    decoder_skip: Tuple[int, ...] = (3,)
     level_set: float = 0.5
 
 
 class COAPOccupancy(nn.Module):
-    """Per-part encode + local implicit decode + max over parts.
+    """Per-part encode + query-encode + implicit decode + max over parts.
 
-    Query points must already be in per-part local frames (the bone
-    transforms come from the LBS's relative transforms, as the reference's
-    Partitioner computes them).
+    Faithful to ``coap.py:COAPBodyModel.query:688-725``: query feature =
+    [local_query(3), inside_bbox(1), part one-hot(K), latent(code_dim)] ->
+    query_encoder -> concat local_query again -> decoder -> sigmoid(-x),
+    gated by inside_bbox, max over parts. Query points must already be in
+    per-part local frames (bone transforms from the LBS relative transforms,
+    as :mod:`coma_tpu.models.coap_partition` computes them).
     """
 
     config: COAPConfig = COAPConfig()
 
     @nn.compact
     def __call__(self, part_points, query_local, inside_bbox):
-        """part_points (K, T, 3) canonical part clouds; query_local
-        (K, Q, 3) queries in part frames; inside_bbox (K, Q) gating.
+        """part_points (K, T, 3) local part clouds; query_local (K, Q, 3)
+        queries in part frames; inside_bbox (K, Q) gating in {0, 1}.
         Returns (Q,) occupancy in [0, 1]."""
         cfg = self.config
-        codes = jax.vmap(
-            lambda pts: ResnetPointnet(cfg.code_dim, cfg.hidden_dim, name="encoder")(
-                pts[None]
-            )[0]
-        )(part_points)                                     # (K, code)
+        codes = ResnetPointnet(cfg.code_dim, cfg.hidden_dim, name="encoder")(
+            part_points
+        )                                                  # (K, code)
         K, Q, _ = query_local.shape
+        one_hot = jnp.broadcast_to(
+            jnp.eye(K, dtype=query_local.dtype)[:, None, :], (K, Q, K)
+        )
         z = jnp.concatenate(
-            [query_local, jnp.broadcast_to(codes[:, None, :], (K, Q, cfg.code_dim))],
+            [
+                query_local,
+                inside_bbox[..., None].astype(query_local.dtype),
+                one_hot,
+                jnp.broadcast_to(codes[:, None, :], (K, Q, cfg.code_dim)),
+            ],
             axis=-1,
         )
-        raw = ImplicitNet(name="decoder")(z)               # (K, Q)
+        z = ImplicitNet(cfg.query_out, cfg.query_dims, cfg.query_skip,
+                        name="query_encoder")(z)           # (K, Q, 128)
+        z = jnp.concatenate([query_local, z], axis=-1)
+        raw = ImplicitNet(1, cfg.decoder_dims, cfg.decoder_skip,
+                          name="decoder")(z)[..., 0]       # (K, Q)
         occ = jax.nn.sigmoid(-raw) * inside_bbox
         return jnp.max(occ, axis=0)
 

@@ -226,8 +226,11 @@ class BoxNet(nn.Module):
         D, Hh, Wh = OUTPUT_HM_SHAPE
         hm = joint_hm.reshape(B, NUM_BODY_POS_JOINTS * D, Hh, Wh).transpose(0, 2, 3, 1)
         x = jnp.concatenate([img_feat, hm], axis=-1)
+        # torch ConvTranspose2d(k=4, s=2, p=1) doubles H exactly; in flax
+        # that is padding='SAME' (explicit ((1,1),(1,1)) would give 2H-2 and
+        # break the /8 coordinate rescale below)
         for i in range(3):
-            x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            x = nn.ConvTranspose(256, (4, 4), strides=(2, 2), padding="SAME",
                                  use_bias=False, name=f"deconv_{i}")(x)
             x = nn.BatchNorm(use_running_average=True, name=f"deconv_bn_{i}")(x)
             x = nn.relu(x)
