@@ -79,7 +79,18 @@ def main(argv=None) -> None:
                 img = f"{asset_dir}/view:00000.png"
             prompts = vlm_prompts(img, args.vlm_model, args.seed)
         else:
-            prompts = HUMAN_DEFINED_PROMPTS[supercategory][category][asset_id]
+            prompts = (
+                HUMAN_DEFINED_PROMPTS.get(supercategory, {})
+                .get(category, {})
+                .get(asset_id)
+            )
+            if prompts is None:
+                print(
+                    f"[prompts] SKIP {supercategory}/{category}/{asset_id}: "
+                    "no human-defined prompts registered (add them to "
+                    "config/prompts.py or use --use_vlm)"
+                )
+                continue
 
         os.makedirs(os.path.dirname(save_pth), exist_ok=True)
         with open(save_pth, "wb") as fh:

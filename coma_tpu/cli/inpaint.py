@@ -160,18 +160,20 @@ def build_pipeline(args):
     else:
         raise SystemExit("pass --weights_dir or --random_weights")
 
+    # params-threading style (generate_p): weights enter jit as arguments,
+    # not multi-GB baked constants — far faster compiles
     segment_fn = None
     if args.adaptive_mask_model_type != "baseline":
-        segment_fn = lambda imgs: (
-            jax.nn.sigmoid(seg.apply(params["segmenter"], imgs)) >= 0.5
+        segment_fn = lambda prm, imgs: (
+            jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
         ).astype(jnp.float32)
 
     pipe = AdaptiveMaskInpaintPipeline(
-        unet_fn=lambda lat, t, ctx: unet.apply(
-            params["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
+        unet_fn=lambda prm, lat, t, ctx: unet.apply(
+            prm["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
         ).astype(jnp.float32),
-        vae_encode_fn=lambda img: enc.apply(params["vae_encoder"], img),
-        vae_decode_fn=lambda lat: dec.apply(params["vae_decoder"], lat),
+        vae_encode_fn=lambda prm, img: enc.apply(prm["vae_encoder"], img),
+        vae_decode_fn=lambda prm, lat: dec.apply(prm["vae_decoder"], lat),
         segment_fn=segment_fn,
         config=AdaptiveMaskConfig(
             num_inference_steps=args.default_ddim_steps,
@@ -192,7 +194,8 @@ def build_pipeline(args):
             ids = tok(texts)
         return clip.apply(params["clip"], jnp.asarray(ids))
 
-    return pipe, encode_prompts, res
+    run_params = {k: v for k, v in params.items() if k != "tokenizer"}
+    return pipe, run_params, encode_prompts, res
 
 
 def main(argv=None) -> None:
@@ -208,8 +211,8 @@ def main(argv=None) -> None:
     if not work:
         print("[inpaint] nothing to do")
         return
-    pipe, encode_prompts, res = build_pipeline(args)
-    generate = jax.jit(pipe.generate)
+    pipe, run_params, encode_prompts, res = build_pipeline(args)
+    generate = jax.jit(pipe.generate_p)
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
@@ -228,7 +231,7 @@ def main(argv=None) -> None:
         # per-image generator seed = inpaint_id (reference :308-309), folded
         # with the global seed
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
-        out = generate(key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
+        out = generate(run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
         out_np = (np.asarray(out) * 255).astype(np.uint8)
         for w, img in zip(chunk, out_np):
             os.makedirs(os.path.dirname(w["out"]), exist_ok=True)

@@ -115,6 +115,14 @@ class AdaptiveMaskInpaintPipeline:
     segment_fn: (images (B,H,W,3) in [0,1]) -> human masks (B,H,W) in {0,1}
         (the adaptive_mask_model equivalent; None disables adaptation =
         the reference's 'baseline' mode)
+
+    Two calling conventions:
+    - ``generate(rng, ...)`` — fns close over their weights. Convenient, but
+      under ``jax.jit`` XLA bakes every weight into the program as a
+      constant (multi-GB HLO, slow compiles, cache misses per weight set).
+    - ``generate_p(params, rng, ...)`` — fns take a ``params`` pytree as
+      their FIRST argument and the same pytree is passed through jit as a
+      runtime argument. Preferred for the full-size models.
     """
 
     def __init__(
@@ -136,21 +144,33 @@ class AdaptiveMaskInpaintPipeline:
 
     # -- helpers ------------------------------------------------------------
 
-    def _encode_image(self, images: jax.Array, rng: jax.Array) -> jax.Array:
+    def _bound_fns(self, params):
+        """Bind a params pytree as the fns' first argument (or pass through
+        the closure-style fns when params is None)."""
+        if params is None:
+            return self.unet_fn, self.vae_encode_fn, self.vae_decode_fn, self.segment_fn
+
+        def bind(fn):
+            return None if fn is None else (lambda *a: fn(params, *a))
+
+        return (bind(self.unet_fn), bind(self.vae_encode_fn),
+                bind(self.vae_decode_fn), bind(self.segment_fn))
+
+    def _encode_image(self, vae_encode_fn, images: jax.Array, rng: jax.Array) -> jax.Array:
         from coma_tpu.models.diffusion.vae import sample_latents
 
-        moments = self.vae_encode_fn(images)
+        moments = vae_encode_fn(images)
         return sample_latents(moments, rng, self.vae_scaling)
 
     def _mask_latents(
-        self, mask: jax.Array, init_image: jax.Array, rng: jax.Array
+        self, vae_encode_fn, mask: jax.Array, init_image: jax.Array, rng: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
         """mask (B,H,W) + init image -> (mask_latent (B,h,w,1),
         masked_image_latents (B,h,w,4)). Reference: ``prepare_mask_latents:686``."""
         mask = binarize_mask(mask)
         masked_image = init_image * (mask[..., None] < 0.5)
         mask_lat = downsample_mask(mask, self.config.vae_scale)
-        masked_lat = self._encode_image(masked_image, rng)
+        masked_lat = self._encode_image(vae_encode_fn, masked_image, rng)
         return mask_lat, masked_lat
 
     # -- the loop -----------------------------------------------------------
@@ -163,7 +183,31 @@ class AdaptiveMaskInpaintPipeline:
         prompt_embeds: jax.Array,    # (B, L, C) conditional
         negative_embeds: jax.Array,  # (B, L, C) unconditional
     ) -> jax.Array:
-        """Run the full adaptive-mask inpainting; returns images in [0, 1]."""
+        """Closure-style entry (weights captured by the fns)."""
+        return self.generate_p(
+            None, rng, init_image, default_mask, prompt_embeds, negative_embeds
+        )
+
+    def generate_p(
+        self,
+        params,
+        rng: jax.Array,
+        init_image: jax.Array,       # (B, H, W, 3) in [-1, 1]
+        default_mask: jax.Array,     # (B, H, W) in {0, 1}
+        prompt_embeds: jax.Array,    # (B, L, C) conditional
+        negative_embeds: jax.Array,  # (B, L, C) unconditional
+        return_intermediates: bool = False,
+    ) -> jax.Array:
+        """Run the full adaptive-mask inpainting; returns images in [0, 1].
+        ``params`` is forwarded as the fns' first argument (see class doc).
+
+        With ``return_intermediates`` (the reference's per-step mask/image
+        video dump, ``utils/visualization/visualize_video.py`` +
+        ``adaptive_mask_inpainting.py:1103-1104``) also returns a dict of
+        per-step scan outputs: ``mask_lat`` (S, B, h, w, 1) and ``pred_x0``
+        (S, B, h, w, 4) latents — decode/upsample on the host via
+        :mod:`coma_tpu.visualization.video`."""
+        unet_fn, vae_encode_fn, vae_decode_fn, segment_fn = self._bound_fns(params)
         cfg = self.config
         B, H, W, _ = init_image.shape
         h, w = H // cfg.vae_scale, W // cfg.vae_scale
@@ -185,10 +229,10 @@ class AdaptiveMaskInpaintPipeline:
         if cfg.strength >= 1.0:
             latents = noise * self.schedule.init_noise_sigma
         else:
-            image_latents = self._encode_image(init_image, r_lat)
+            image_latents = self._encode_image(vae_encode_fn, init_image, r_lat)
             latents = add_noise(self.schedule, image_latents, noise, int(timesteps[0]))
 
-        mask_lat, masked_lat = self._mask_latents(default_mask, init_image, r_mask)
+        mask_lat, masked_lat = self._mask_latents(vae_encode_fn, default_mask, init_image, r_mask)
 
         context = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
         t_tab = jnp.asarray(np.asarray(timesteps), dtype=jnp.float32)
@@ -203,14 +247,14 @@ class AdaptiveMaskInpaintPipeline:
             )
             lat_in = jnp.concatenate([lat_in, extra], axis=-1)
             t_in = jnp.full((2 * B,), t, dtype=jnp.float32)
-            eps = self.unet_fn(lat_in, t_in, context)
+            eps = unet_fn(lat_in, t_in, context)
             eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
             return eps_uncond + cfg.guidance_scale * (eps_text - eps_uncond)
 
         def adapt(pred_x0, mask_lat, masked_lat, i, rng):
             """Decode x̂0, segment, dilate ∧ default mask, re-encode."""
-            image = jnp.clip(self.vae_decode_fn(pred_x0 / self.vae_scaling) / 2 + 0.5, 0, 1)
-            human = self.segment_fn(image).astype(init_image.dtype)  # (B, H, W)
+            image = jnp.clip(vae_decode_fn(pred_x0 / self.vae_scaling) / 2 + 0.5, 0, 1)
+            human = segment_fn(image).astype(init_image.dtype)  # (B, H, W)
             grown = dilate_mask(human[:, :, :], dilate_tab[i])
             adapted = jnp.logical_and(grown > 0, default_mask > 0).astype(human.dtype)
             # fall back to the default mask when the detected human is tiny
@@ -218,27 +262,34 @@ class AdaptiveMaskInpaintPipeline:
             too_small = jnp.sum(human, axis=(1, 2)) < H * W * cfg.human_detection_thres
             fallback = jnp.logical_or(too_small, use_default_tab[i])
             mask = jnp.where(fallback[:, None, None], default_mask, adapted)
-            return self._mask_latents(mask, init_image, rng)
+            return self._mask_latents(vae_encode_fn, mask, init_image, rng)
 
         def step(carry, i):
             latents, mask_lat, masked_lat, rng = carry
             eps = unet_eps(latents, mask_lat, masked_lat, t_tab[i])
             latents, pred_x0 = ddim_step_traced(self.schedule, i, eps, latents)
 
-            if self.segment_fn is not None and cfg.use_adaptive_mask:
+            if segment_fn is not None and cfg.use_adaptive_mask:
                 rng, r_adapt = jax.random.split(rng)
                 mask_lat, masked_lat = jax.lax.cond(
                     provoke_tab[i],
                     lambda: adapt(pred_x0, mask_lat, masked_lat, i, r_adapt),
                     lambda: (mask_lat, masked_lat),
                 )
-            return (latents, mask_lat, masked_lat, rng), None
+            ys = (
+                dict(mask_lat=mask_lat, pred_x0=pred_x0)
+                if return_intermediates else None
+            )
+            return (latents, mask_lat, masked_lat, rng), ys
 
-        (latents, _, _, _), _ = jax.lax.scan(
+        (latents, _, _, _), intermediates = jax.lax.scan(
             step,
             (latents, mask_lat, masked_lat, rng),
             jnp.arange(n_steps),
         )
 
-        image = self.vae_decode_fn(latents / self.vae_scaling)
-        return jnp.clip(image / 2 + 0.5, 0.0, 1.0)
+        image = vae_decode_fn(latents / self.vae_scaling)
+        image = jnp.clip(image / 2 + 0.5, 0.0, 1.0)
+        if return_intermediates:
+            return image, intermediates
+        return image

@@ -15,6 +15,8 @@ Reference parity: the load-bearing parts of the vendored BEHAVE tooling
 from __future__ import annotations
 
 import dataclasses
+import os
+import pickle
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -188,3 +190,141 @@ def evaluate_against_gt(
         gt, _ = aggregate_contact(gt_state, which, significant_contact_ratio)
         out[key] = quant_metrics(np.asarray(pred), np.asarray(gt), eps)
     return out
+
+
+# --------------------------------------------------------------------------
+# BEHAVE sequence reading (reference: utils/behave.py:418-630 SeqInfo /
+# KinectFrameReader / FrameDataReader). numpy/PIL based — no psbody/cv2.
+# --------------------------------------------------------------------------
+
+class SeqInfo:
+    """Sequence metadata from ``<seq>/info.json`` (``behave.py:418-466``):
+    category, gender, kinect ids, calibration paths (made absolute)."""
+
+    def __init__(self, seq_path: str):
+        import json
+
+        with open(os.path.join(seq_path, "info.json")) as fh:
+            self.info = json.load(fh)
+        for name in ("config", "empty", "intrinsic"):
+            if self.info.get(name) is not None:
+                self.info[name] = os.path.join(seq_path, self.info[name])
+
+    def get_obj_name(self, convert: bool = False) -> str:
+        """COCO-detector name conversion (``behave.py:424-430``)."""
+        cat = self.info["cat"]
+        if convert:
+            if "chair" in cat:
+                return "chair"
+            if "ball" in cat:
+                return "sports ball"
+        return cat
+
+    @property
+    def kids(self):
+        return list(self.info.get("kinects", range(3)))
+
+    def kinect_count(self) -> int:
+        return len(self.kids)
+
+
+class BehaveSequence:
+    """Frame-level reader for one BEHAVE sequence directory.
+
+    Frames are subdirectories named ``t<sec>.<subframe>`` holding
+    ``k{kid}.color.jpg`` / ``k{kid}.depth.png`` plus per-frame fits:
+    ``person/<save_name>/person_fit.pkl`` and
+    ``<obj>/<save_name>/<obj>_fit.pkl``. Combines the reference's
+    KinectFrameReader (``:479``) and FrameDataReader (``:631``) surface that
+    the evaluation path needs; fit params feed
+    :func:`prepare_affordance_extraction_inputs_for_behave`.
+    """
+
+    def __init__(self, seq_path: str, ext: str = "jpg"):
+        self.seq_path = seq_path.rstrip("/")
+        self.ext = ext
+        self.seq_info = SeqInfo(self.seq_path)
+        self.kids = self.seq_info.kids
+        self.frames = self._list_frames()
+
+    def _list_frames(self):
+        def key(name):
+            t, sub = name.split(".")[:2]
+            return (int(t.replace("t", "")), int(sub))
+
+        return sorted(
+            (
+                f
+                for f in os.listdir(self.seq_path)
+                if os.path.isdir(os.path.join(self.seq_path, f)) and f.startswith("t")
+            ),
+            key=key,
+        )
+
+    def __len__(self):
+        return len(self.frames)
+
+    def frame_folder(self, idx: int) -> str:
+        return os.path.join(self.seq_path, self.frames[idx])
+
+    def frame_index(self, frame_time: str) -> int:
+        return self.frames.index(frame_time)
+
+    def times2indices(self, frame_times):
+        return [self.frame_index(t) for t in frame_times]
+
+    def get_color_image(self, idx: int, kid: int) -> np.ndarray:
+        from PIL import Image
+
+        pth = os.path.join(self.frame_folder(idx), f"k{kid}.color.{self.ext}")
+        return np.asarray(Image.open(pth).convert("RGB"))
+
+    def get_depth_image(self, idx: int, kid: int) -> np.ndarray:
+        """uint16 depth in mm (``k{kid}.depth.png``)."""
+        from PIL import Image
+
+        pth = os.path.join(self.frame_folder(idx), f"k{kid}.depth.png")
+        return np.asarray(Image.open(pth))
+
+    def objfit_param_file(self, idx: int, save_name: str) -> str:
+        name = self.seq_info.get_obj_name(convert=True)
+        return os.path.join(
+            self.frame_folder(idx), name, save_name, f"{name}_fit.pkl"
+        )
+
+    def get_objfit_params(self, idx: int, save_name: str):
+        """(angle (3,), trans (3,)) or (None, None) (``behave.py:736-744``)."""
+        pth = self.objfit_param_file(idx, save_name)
+        if save_name is None or not os.path.isfile(pth):
+            return None, None
+        with open(pth, "rb") as fh:
+            fit = pickle.load(fh)
+        return fit["angle"], fit["trans"]
+
+    def smplfit_param_file(self, idx: int, save_name: str) -> str:
+        return os.path.join(
+            self.frame_folder(idx), "person", save_name, "person_fit.pkl"
+        )
+
+    def get_smplfit_params(self, idx: int, save_name: str):
+        """(pose, betas, trans) or Nones (``behave.py:746-755``)."""
+        pth = self.smplfit_param_file(idx, save_name)
+        if save_name is None or not os.path.isfile(pth):
+            return None, None, None
+        with open(pth, "rb") as fh:
+            fit = pickle.load(fh)
+        return fit["pose"], fit["betas"], fit["trans"]
+
+    def smplfit_meshfile_as_smplx(self, idx: int, save_name: str, ext: str = "ply") -> str:
+        return os.path.join(
+            self.frame_folder(idx), "person", save_name, f"person_fit_smplx.{ext}"
+        )
+
+    def get_person_pointcloud(self, idx: int):
+        """(N, 3) scan points of the segmented person, or None."""
+        pth = os.path.join(self.frame_folder(idx), "person", "person.ply")
+        if not os.path.isfile(pth):
+            return None
+        from coma_tpu.utils.ply import read_ply_pointcloud
+
+        return read_ply_pointcloud(pth)[0]

@@ -134,3 +134,53 @@ def test_evaluate_cli(tmp_path, rng):
 
     metrics = json.load(open(out))
     assert abs(metrics["aggr_human_contact_metrics"]["sim"] - 1.0) < 1e-5
+
+
+def test_behave_sequence_reader(tmp_path, rng):
+    """Synthetic BEHAVE sequence tree -> BehaveSequence reads frames, fits,
+    images, point clouds."""
+    import json
+
+    from PIL import Image
+
+    from coma_tpu.pipelines.behave_eval import BehaveSequence, SeqInfo
+    from coma_tpu.utils.ply import write_ply_pointcloud
+
+    seq = tmp_path / "Date03_Sub04_chairwood"
+    seq.mkdir()
+    json.dump(
+        dict(cat="chairwood", gender="male", kinects=[0, 1], beta=[0.0] * 10,
+             config="calibs/config", empty=None, intrinsic="calibs/intrinsics"),
+        open(seq / "info.json", "w"),
+    )
+    # frames deliberately out of lexicographic order: t0010.000 < t0002.000 lexic.
+    for name in ("t0010.000", "t0002.000", "t0002.001"):
+        f = seq / name
+        f.mkdir()
+        for kid in range(2):
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(f / f"k{kid}.color.jpg")
+            Image.fromarray(np.full((8, 8), 1000, np.uint16)).save(f / f"k{kid}.depth.png")
+        (f / "person" / "fit02").mkdir(parents=True)
+        pickle.dump(dict(pose=np.zeros(72), betas=np.zeros(10), trans=np.ones(3)),
+                    open(f / "person" / "fit02" / "person_fit.pkl", "wb"))
+        write_ply_pointcloud(str(f / "person" / "person.ply"),
+                             rng.normal(size=(5, 3)).astype(np.float32))
+        (f / "chair" / "fit01").mkdir(parents=True)
+        pickle.dump(dict(angle=np.array([0.1, 0.2, 0.3]), trans=np.zeros(3)),
+                    open(f / "chair" / "fit01" / "chair_fit.pkl", "wb"))
+
+    reader = BehaveSequence(str(seq))
+    assert len(reader) == 3
+    assert reader.frames == ["t0002.000", "t0002.001", "t0010.000"]  # numeric sort
+    assert reader.seq_info.get_obj_name(convert=True) == "chair"
+    assert reader.kids == [0, 1]
+    assert reader.get_color_image(0, 1).shape == (8, 8, 3)
+    assert reader.get_depth_image(0, 0).dtype == np.uint16
+    angle, trans = reader.get_objfit_params(0, "fit01")
+    np.testing.assert_allclose(angle, [0.1, 0.2, 0.3])
+    pose, betas, tr = reader.get_smplfit_params(2, "fit02")
+    assert pose.shape == (72,) and np.all(tr == 1.0)
+    assert reader.get_person_pointcloud(1).shape == (5, 3)
+    assert reader.times2indices(["t0010.000", "t0002.000"]) == [2, 0]
+    # missing fit -> graceful Nones
+    assert reader.get_objfit_params(0, "nope") == (None, None)

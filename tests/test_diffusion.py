@@ -222,3 +222,34 @@ def test_pipeline_deterministic_per_seed(tiny_pipeline, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = pipe.generate(jax.random.PRNGKey(8), init_image, mask, ctx, jnp.zeros_like(ctx))
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-5
+
+
+def test_pipeline_intermediates_and_video(tiny_pipeline, rng, tmp_path):
+    """return_intermediates + the per-step mask/image GIF writer
+    (the reference's visualize_video equivalent)."""
+    import os
+
+    from coma_tpu.visualization.video import write_adaptive_mask_video
+
+    build, segment_fn, H = tiny_pipeline
+    pipe = build(segment_fn)
+    init_image = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), dtype=jnp.float32)
+    mask = jnp.ones((1, H, H))
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 32)), dtype=jnp.float32)
+    out, inter = pipe.generate_p(
+        None, jax.random.PRNGKey(1), init_image, mask, ctx,
+        jnp.zeros_like(ctx), return_intermediates=True,
+    )
+    h = H // 8
+    assert inter["mask_lat"].shape == (50, 1, h, h, 1)
+    assert inter["pred_x0"].shape == (50, 1, h, h, 4)
+    # intermediates must not change the generated image
+    plain = pipe.generate(jax.random.PRNGKey(1), init_image, mask, ctx, jnp.zeros_like(ctx))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+    gif = str(tmp_path / "steps.gif")
+    frames = write_adaptive_mask_video(
+        inter, pipe.vae_decode_fn, gif, sample=0, every=10
+    )
+    assert frames.shape == (5, H, 2 * H, 3)
+    assert os.path.getsize(gif) > 0
