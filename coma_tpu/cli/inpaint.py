@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--adaptive_mask_model_type", type=str, default="p",
                         choices=["p", "baseline", "ps", "ps_ae", "s_pdb_ae", "s_db_ae", "s_ab_ae"])
     parser.add_argument("--weights_dir", type=str, help="converted Flax SD params")
+    parser.add_argument("--sam_weights", type=str,
+                        help="sam_vit_b_01ec64.pth for the SAM predictor modes")
     parser.add_argument("--random_weights", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs at 64x64 (hermetic smoke runs)")
@@ -163,10 +165,44 @@ def build_pipeline(args):
     # params-threading style (generate_p): weights enter jit as arguments,
     # not multi-GB baked constants — far faster compiles
     segment_fn = None
-    if args.adaptive_mask_model_type != "baseline":
-        segment_fn = lambda prm, imgs: (
-            jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
-        ).astype(jnp.float32)
+    person_fn = lambda prm, imgs: (
+        jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
+    ).astype(jnp.float32)
+    if args.adaptive_mask_model_type == "p":
+        segment_fn = person_fn
+    elif args.adaptive_mask_model_type != "baseline":
+        # SAM modes (ps / *_ae): person seg seeds a bbox prompt, SAM refines
+        # — fully in-scan (reference: adaptive_mask_inpainting.py:1246-1455)
+        from coma_tpu.models.sam import (
+            SAM,
+            SAMConfig,
+            make_sam_segment_fn,
+            tiny_sam_config,
+        )
+
+        scfg = tiny_sam_config() if args.tiny else SAMConfig()
+        sam = SAM(scfg)
+        if args.sam_weights and os.path.exists(args.sam_weights):
+            import torch
+
+            from coma_tpu.models.torch_weights_sam import convert_sam
+
+            sam_vars = convert_sam(
+                torch.load(args.sam_weights, map_location="cpu"), depth=scfg.depth
+            )
+        elif args.random_weights:
+            sam_vars = sam.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, scfg.img_size, scfg.img_size, 3)),
+                jnp.zeros((1, 4)),
+            )
+        else:
+            raise SystemExit(
+                f"'{args.adaptive_mask_model_type}' needs --sam_weights "
+                "(or --random_weights for a mechanical smoke run)"
+            )
+        params["sam"] = sam_vars
+        segment_fn = make_sam_segment_fn(sam, person_fn)
 
     pipe = AdaptiveMaskInpaintPipeline(
         unet_fn=lambda prm, lat, t, ctx: unet.apply(

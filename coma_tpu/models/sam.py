@@ -434,3 +434,50 @@ def make_box_model(model: SAM, variables):
         return sam_predict_box(model, variables, image, box)
 
     return box_model
+
+
+# --------------------------------------------------------------------------
+# in-scan 'ps' segmentation: person seg -> bbox -> SAM refine, all traced
+# --------------------------------------------------------------------------
+
+def mask_to_bbox_traced(mask: jax.Array) -> jax.Array:
+    """(H, W) binary -> (4,) xyxy bbox, fully traceable (static shapes).
+    Empty masks map to the full-image box."""
+    H, W = mask.shape
+    on = mask > 0
+    rows = jnp.any(on, axis=1)
+    cols = jnp.any(on, axis=0)
+    y0 = jnp.argmax(rows)
+    y1 = H - 1 - jnp.argmax(rows[::-1])
+    x0 = jnp.argmax(cols)
+    x1 = W - 1 - jnp.argmax(cols[::-1])
+    box = jnp.stack([x0, y0, x1, y1]).astype(jnp.float32)
+    full = jnp.asarray([0.0, 0.0, W - 1.0, H - 1.0])
+    return jnp.where(jnp.any(on), box, full)
+
+
+def make_sam_segment_fn(sam: "SAM", seed_fn):
+    """Build a jittable pipeline ``segment_fn`` implementing the reference's
+    'ps' adaptive-mask mode (``adaptive_mask_inpainting.py:1246-1293``):
+    ``seed_fn(params, images)`` produces coarse person masks (B, H, W); each
+    mask's bbox prompts SAM for the refined mask. Runs entirely inside the
+    denoise scan (the reference leaves the GPU for detectron2 + SAM on every
+    provoke step).
+
+    ``params`` passed through ``generate_p`` must carry the SAM variables
+    under ``params['sam']``.
+    """
+    S = sam.config.img_size
+
+    def segment_fn(params, images):                      # images (B,H,W,3) in [0,1]
+        B, H, W, _ = images.shape
+        coarse = seed_fn(params, images)                 # (B, H, W)
+        x = jax.image.resize(images * 255.0, (B, S, S, 3), method="bilinear")
+        x = (x - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
+        boxes = jax.vmap(mask_to_bbox_traced)(coarse)    # (B, 4) in (W, H) px
+        scale = jnp.asarray([S / W, S / H, S / W, S / H], jnp.float32)
+        logits, _ = sam.apply(params["sam"], x, boxes * scale)  # (B, S/4, S/4)
+        refined = jax.image.resize(logits, (B, H, W), method="bilinear") > 0.0
+        return refined.astype(images.dtype)
+
+    return segment_fn

@@ -206,3 +206,53 @@ def test_upscale_convtranspose_k2s2_parity():
                   jnp.asarray(x.transpose(0, 2, 3, 1)))
     assert yj.shape == (1, 10, 10, 3)
     np.testing.assert_allclose(np.asarray(yj).transpose(0, 3, 1, 2), yt, atol=1e-5)
+
+
+def test_mask_to_bbox_traced():
+    from coma_tpu.models.sam import mask_to_bbox_traced
+
+    m = np.zeros((10, 12), np.float32)
+    m[3:7, 4:9] = 1
+    box = np.asarray(jax.jit(mask_to_bbox_traced)(jnp.asarray(m)))
+    np.testing.assert_array_equal(box, [4, 3, 8, 6])
+    empty = np.asarray(mask_to_bbox_traced(jnp.zeros((10, 12))))
+    np.testing.assert_array_equal(empty, [0, 0, 11, 9])
+
+
+def test_sam_segment_fn_in_pipeline(tiny_sam, rng):
+    """'ps' mode fully in-scan: tiny SAM as the pipeline's segment_fn."""
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskConfig,
+        AdaptiveMaskInpaintPipeline,
+    )
+    from coma_tpu.models.diffusion.unet import UNet2DCondition, tiny_unet_config
+    from coma_tpu.models.diffusion.vae import Decoder, Encoder, tiny_vae_config
+    from coma_tpu.models.sam import make_sam_segment_fn
+
+    cfg, sam_model, sam_vars = tiny_sam
+    H = cfg.img_size  # 64
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    unet, enc, dec = UNet2DCondition(ucfg), Encoder(vcfg), Decoder(vcfg)
+    k = jax.random.PRNGKey(0)
+    params = dict(
+        unet=unet.init(k, jnp.zeros((1, 8, 8, 9)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim))),
+        vae_encoder=enc.init(k, jnp.zeros((1, H, H, 3))),
+        vae_decoder=dec.init(k, jnp.zeros((1, 8, 8, 4))),
+        sam=sam_vars,
+    )
+    seed_fn = lambda prm, imgs: (imgs.mean(-1) > 0.6).astype(jnp.float32)
+    pipe = AdaptiveMaskInpaintPipeline(
+        unet_fn=lambda prm, lat, t, ctx: unet.apply(prm["unet"], lat, t, ctx),
+        vae_encode_fn=lambda prm, img: enc.apply(prm["vae_encoder"], img),
+        vae_decode_fn=lambda prm, lat: dec.apply(prm["vae_decoder"], lat),
+        segment_fn=make_sam_segment_fn(sam_model, seed_fn),
+        config=AdaptiveMaskConfig(num_inference_steps=50),
+    )
+    img = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), jnp.float32)
+    mask = jnp.ones((1, H, H))
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 32)), jnp.float32)
+    out = jax.jit(pipe.generate_p)(params, jax.random.PRNGKey(1), img, mask,
+                                   ctx, jnp.zeros_like(ctx))
+    o = np.asarray(out)
+    assert o.shape == (1, H, H, 3) and np.isfinite(o).all()
