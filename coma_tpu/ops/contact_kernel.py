@@ -209,9 +209,11 @@ def splat_accumulate_padded(
             acc_spec,
         ],
         out_specs=[acc_spec, acc_spec],
+        # propagate the inputs' varying-across-mesh-axes set so the kernel
+        # composes with shard_map(check_vma=True) (fused multi-chip path)
         out_shape=[
-            jax.ShapeDtypeStruct(ph_p.shape, ph_p.dtype),
-            jax.ShapeDtypeStruct(po_p.shape, po_p.dtype),
+            jax.ShapeDtypeStruct(ph_p.shape, ph_p.dtype, vma=jax.typeof(ph_p).vma),
+            jax.ShapeDtypeStruct(po_p.shape, po_p.dtype, vma=jax.typeof(po_p).vma),
         ],
         input_output_aliases={8: 0, 9: 1},
         compiler_params=pltpu.CompilerParams(

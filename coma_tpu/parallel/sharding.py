@@ -64,15 +64,23 @@ def sharded_contact_aggregate(
     mesh: Optional[Mesh] = None,
     valid: Optional[jax.Array] = None,
     axis_name: str = "data",
+    use_fused: Optional[bool] = None,
 ) -> ComAState:
     """Aggregate a sample batch sharded over the mesh's data axis.
 
     Pads B up to a multiple of the axis size, scans each shard on its chip,
     and ``psum``s the accumulators. Bitwise-equivalent (up to f32 reduction
     order) to the sequential aggregation of the same samples.
+
+    ``use_fused`` routes each shard through the fused Pallas splat kernel
+    (:func:`coma_tpu.ops.contact_kernel.fused_contact_update_batch`, ~28x
+    the XLA path on one chip); default: on iff the backend is TPU (Mosaic
+    kernels do not run on the CPU mesh used in tests).
     """
     mesh = mesh or default_mesh(axis_name)
     n_dev = mesh.shape[axis_name]
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
 
     B = human_verts.shape[0]
     B_pad = round_up(B, n_dev)
@@ -103,7 +111,12 @@ def sharded_contact_aggregate(
         s = dataclasses.replace(
             s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in accum_fields}
         )
-        s = contact_update_batch(s, hv, hn, ov, on, valid=v)
+        if use_fused:
+            from coma_tpu.ops.contact_kernel import fused_contact_update_batch
+
+            s = fused_contact_update_batch(s, hv, hn, ov, on, valid=v)
+        else:
+            s = contact_update_batch(s, hv, hn, ov, on, valid=v)
         return dataclasses.replace(
             s,
             **{f: jax.lax.psum(getattr(s, f), axis_name) for f in accum_fields},
