@@ -14,7 +14,13 @@ TPU-first):
   (reference: ``utils/load_3d.py``, ``utils/transformations.py``).
 - ``coma_tpu.models``      — JAX model zoo: SMPL-X LBS, diffusion inpainting,
   segmentation, VPoser, COAP (reference: ``imports/``).
+- ``coma_tpu.lifting``     — 2D->3D lifting: ortho cameras, rasterizer,
+  depth init/optimization, RANSAC-DLT triangulation, metrics (reference:
+  ``src/generation/{initialize,optimize}_depth.py``, ``compute_metrics.py``).
 - ``coma_tpu.ops``         — Pallas TPU kernels for the hot paths.
+- ``coma_tpu.visualization`` — affordance viz exports + the per-step
+  adaptive-mask video (reference: ``src/visualization/``,
+  ``utils/visualization/``).
 - ``coma_tpu.parallel``    — device-mesh sharding of work lists and
   accumulators (replaces the reference's bash/CUDA_VISIBLE_DEVICES
   process-per-GPU sharding, ``scripts/generation/*.sh``).
