@@ -182,7 +182,11 @@ def build_pipeline(args):
 
         scfg = tiny_sam_config() if args.tiny else SAMConfig()
         sam = SAM(scfg)
-        if args.sam_weights and os.path.exists(args.sam_weights):
+        if args.sam_weights and args.sam_weights.endswith(".npz"):
+            from coma_tpu.utils.checkpoint import load_params
+
+            sam_vars = load_params(args.sam_weights)
+        elif args.sam_weights and os.path.exists(args.sam_weights):
             import torch
 
             from coma_tpu.models.torch_weights_sam import convert_sam

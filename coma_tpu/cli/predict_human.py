@@ -49,8 +49,15 @@ def load_regressor(args):
     from coma_tpu.pipelines.mocap import Hand4WholeRegressor
 
     model = Hand4Whole()
-    if args.regressor_params and os.path.exists(args.regressor_params):
-        with open(args.regressor_params, "rb") as fh:
+    store = args.regressor_params
+    if store and os.path.exists(store if store.endswith(".npz") else store + ".npz"):
+        # native param store written by `coma_tpu.cli.convert_weights
+        # --kind hand4whole` (preferred over ad-hoc pickles)
+        from coma_tpu.utils.checkpoint import load_params
+
+        params = load_params(store)
+    elif store and os.path.exists(store):
+        with open(store, "rb") as fh:
             params = pickle.load(fh)
     else:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 384, 3)))

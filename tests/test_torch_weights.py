@@ -385,3 +385,57 @@ def test_convert_coap_full(rng):
     )
     assert occ_j.shape == (Q,)
     np.testing.assert_allclose(np.asarray(occ_j), occ_t, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# native param store + convert_weights CLI
+# --------------------------------------------------------------------------
+
+def test_param_store_roundtrip(tmp_path, rng):
+    from coma_tpu.utils.checkpoint import load_params, save_params
+
+    tree = {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32)),
+              "bias": jnp.asarray(rng.normal(size=(4,)).astype(np.float32))},
+        "b": {"w": jnp.asarray(rng.normal(size=(2, 2)), jnp.bfloat16)},
+    }
+    p = str(tmp_path / "store")
+    save_params(tree, p)
+    back = load_params(p)
+    np.testing.assert_array_equal(np.asarray(back["a"]["kernel"]),
+                                  np.asarray(tree["a"]["kernel"]))
+    assert back["b"]["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back["b"]["w"], np.float32),
+                                  np.asarray(tree["b"]["w"], np.float32))
+
+
+def test_convert_weights_cli_coap(tmp_path, rng):
+    """Full CLI path: torch ckpt file -> store -> COAPOccupancy.apply."""
+    from coma_tpu.cli import convert_weights as cli_cw
+    from coma_tpu.models.coap import COAPConfig, COAPOccupancy
+    from coma_tpu.utils.checkpoint import load_params
+
+    K, code = 4, 16
+    cfg = COAPConfig(num_parts=K, code_dim=code, hidden_dim=16,
+                     query_dims=(32, 32, 32), query_skip=(2,), query_out=12,
+                     decoder_dims=(20, 20, 20, 20), decoder_skip=(3,))
+    enc = TorchResnetPointnet(3, 16, code)
+    qenc = TorchImplicitNet(3 + 1 + K + code, 12, [32, 32, 32], (2,))
+    dec = TorchImplicitNet(3 + 12, 1, [20, 20, 20, 20], (3,))
+    sd = {}
+    for pre, mod in (("encoder", enc), ("query_encoder", qenc), ("decoder", dec)):
+        for k, v in mod.state_dict().items():
+            sd[f"{pre}.{k}"] = v
+    src = str(tmp_path / "last.ckpt")
+    torch.save({"state_dict": sd}, src)
+    out = str(tmp_path / "coap_store")
+    cli_cw.main(["--kind", "coap", "--src", src, "--out", out])
+
+    tree = load_params(out)
+    occ = COAPOccupancy(cfg).apply(
+        tree,
+        jnp.asarray(rng.normal(size=(K, 9, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(K, 6, 3)).astype(np.float32)),
+        jnp.ones((K, 6)),
+    )
+    assert occ.shape == (6,) and np.isfinite(np.asarray(occ)).all()
