@@ -213,3 +213,75 @@ def sample_scene_points_bbox(
     hi = jnp.max(verts, axis=0)
     inside = jnp.all((scene_points >= lo) & (scene_points <= hi), axis=-1)
     return inside.astype(scene_points.dtype)
+
+
+# --------------------------------------------------------------------------
+# world-space query: partition + frames + bbox gate + neural occupancy
+# --------------------------------------------------------------------------
+
+def coap_occupancy_world(
+    occ_model,                 # COAPOccupancy
+    variables,                 # converted checkpoint params
+    partition,                 # coap_partition.BodyPartition
+    rest_joints: jax.Array,    # (J, 3)
+    rel_transforms: jax.Array, # (J, 4, 4) from the LBS (batch_rigid_transform)
+    translation: jax.Array,    # (3,) rigid body translation (e.g. transl/depth)
+    verts_world: jax.Array,    # (V, 3) posed+translated human vertices
+    query_points: jax.Array,   # (Q, 3) world scene points
+) -> jax.Array:
+    """The reference's ``coap.py:query:688-725`` end to end: canonicalize the
+    per-part vertex clouds and the query points into bone-local frames
+    (translation folded into the frames), gate by padded part bboxes, run the
+    neural occupancy, max over parts. Returns (Q,) occupancy."""
+    from coma_tpu.models.coap_partition import (
+        bone_local_frames,
+        part_bbox_gate,
+        to_part_local,
+    )
+
+    frames = bone_local_frames(rel_transforms, rest_joints, partition.part_joint)
+    # world -> local must undo the rigid translation first:
+    # local = R_inv (x - (t + d)) = frames @ (x - d)
+    frames = frames.at[:, :3, 3].add(
+        -jnp.einsum("kij,j->ki", frames[:, :3, :3], translation)
+    )
+    part_pts = verts_world[jnp.asarray(partition.part_vertex_ids)]   # (K, M, 3)
+    homo = jnp.concatenate(
+        [part_pts, jnp.ones(part_pts.shape[:2] + (1,), part_pts.dtype)], axis=-1
+    )
+    local_parts = jnp.einsum("kij,kmj->kmi", frames, homo)[..., :3]
+    query_local = to_part_local(query_points, frames)
+    inside = part_bbox_gate(
+        local_parts, jnp.asarray(partition.part_vertex_valid), query_local,
+        bbox_padding=1.125,  # coap.py:603 (bbox_padding)
+    )
+    return occ_model.apply(variables, local_parts, query_local, inside)
+
+
+def make_coap_collision_fn(
+    occ_model,
+    variables,
+    partition,
+    rest_joints: jax.Array,
+    rel_transforms: jax.Array,
+    base_verts: jax.Array,     # (V, 3) posed verts at zero displacement
+    scene_points: jax.Array,   # (Q, 3)
+    level_set: float = 0.5,
+):
+    """Adapter for :func:`coma_tpu.lifting.depth_optimize`'s ``collision_fn``
+    hook (the reference's neural-COAP term, ``optimize_depth.py:752``, w=0.4).
+
+    The depth optimizer only rigidly translates the body, so the rigid
+    displacement is recovered exactly as the centroid shift from
+    ``base_verts`` and folded into the bone frames."""
+    base_centroid = jnp.mean(base_verts, axis=0)
+
+    def collision_fn(verts_world):
+        d = jnp.mean(verts_world, axis=0) - base_centroid
+        occ = coap_occupancy_world(
+            occ_model, variables, partition, rest_joints, rel_transforms,
+            d, verts_world, scene_points,
+        )
+        return collision_loss(occ, level_set)
+
+    return collision_fn

@@ -90,3 +90,91 @@ def test_bbox_gate():
     queries = jnp.asarray([[[0.5, 0.5, 0.5], [3.0, 0.0, 0.0]]], jnp.float32)
     gate = np.asarray(part_bbox_gate(part_pts, valid, queries))
     np.testing.assert_array_equal(gate[0], [1.0, 0.0])
+
+
+def test_coap_occupancy_world_translation_invariance(rng):
+    """Occupancy of (body+d, scene+d) must equal (body, scene): the rigid
+    translation folds into the bone frames exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.models.coap import COAPConfig, COAPOccupancy, coap_occupancy_world
+    from coma_tpu.models.coap_partition import build_partition
+    from coma_tpu.models.smplx import random_model, smplx_forward
+
+    sm = random_model(num_verts=256, num_betas=4, num_expr=2)
+    part = build_partition(np.asarray(sm.lbs_weights), tuple(np.asarray(sm.parents)))
+    K = part.num_parts
+    cfg = COAPConfig(num_parts=K, code_dim=8, hidden_dim=8,
+                     query_dims=(64, 64, 64), query_skip=(2,), query_out=8,
+                     decoder_dims=(16, 16, 16, 16), decoder_skip=(3,))
+    model = COAPOccupancy(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((K, part.max_part_size, 3)),
+        jnp.zeros((K, 5, 3)),
+        jnp.ones((K, 5)),
+    )
+
+    verts, joints = smplx_forward(
+        sm,
+        betas=jnp.zeros((1, 4)),
+        body_pose=jnp.asarray(rng.normal(size=(1, 63)) * 0.1, jnp.float32),
+    )
+    verts = verts[0]
+    J = joints.shape[1]
+    eye = jnp.broadcast_to(jnp.eye(4), (J, 4, 4))
+    # rest joints as the frame anchors; identity rel transforms (unposed
+    # frames) — the invariance property holds for ANY frames
+    rest_joints = joints[0]
+    q = jnp.asarray(rng.normal(size=(7, 3)) * 0.3, jnp.float32)
+
+    occ0 = coap_occupancy_world(
+        model, variables, part, rest_joints, eye, jnp.zeros(3), verts, q
+    )
+    d = jnp.asarray([0.5, -1.0, 2.0])
+    occ1 = coap_occupancy_world(
+        model, variables, part, rest_joints, eye, d, verts + d, q + d
+    )
+    assert occ0.shape == (7,)
+    np.testing.assert_allclose(np.asarray(occ0), np.asarray(occ1), atol=1e-5)
+
+
+def test_make_coap_collision_fn_in_depth_optimizer(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.models.coap import (
+        COAPConfig,
+        COAPOccupancy,
+        make_coap_collision_fn,
+    )
+    from coma_tpu.models.coap_partition import build_partition
+    from coma_tpu.models.smplx import random_model, smplx_forward
+
+    sm = random_model(num_verts=128, num_betas=4, num_expr=2)
+    part = build_partition(np.asarray(sm.lbs_weights), tuple(np.asarray(sm.parents)))
+    K = part.num_parts
+    cfg = COAPConfig(num_parts=K, code_dim=8, hidden_dim=8,
+                     query_dims=(64, 64, 64), query_skip=(2,), query_out=8,
+                     decoder_dims=(16, 16, 16, 16), decoder_skip=(3,))
+    model = COAPOccupancy(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((K, part.max_part_size, 3)),
+        jnp.zeros((K, 4, 3)),
+        jnp.ones((K, 4)),
+    )
+    verts, joints = smplx_forward(sm, betas=jnp.zeros((1, 4)))
+    verts = verts[0]
+    J = joints.shape[1]
+    fn = make_coap_collision_fn(
+        model, variables, part, joints[0],
+        jnp.broadcast_to(jnp.eye(4), (J, 4, 4)), verts,
+        scene_points=jnp.asarray(rng.normal(size=(9, 3)) * 0.2, jnp.float32),
+    )
+    loss = jax.jit(fn)(verts + jnp.asarray([0.0, 0.0, 0.3]))
+    assert np.isfinite(float(loss))
+    # differentiable through the displacement (what the optimizer needs)
+    g = jax.grad(lambda d: fn(verts + d))(jnp.zeros(3))
+    assert np.isfinite(np.asarray(g)).all()
