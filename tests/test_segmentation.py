@@ -134,3 +134,58 @@ def test_build_predictor_all_types(t):
     pred = build_predictor(t, model, box_model=box_fill_model)
     out = pred(IMG)
     assert "mask" in out and "asset_mask" in out and "vis" in out
+
+
+def test_segmenter_training_learns_blobs(rng):
+    """A few hundred steps on procedural person-blobs must reach IoU > 0.7
+    (the segmenter is trainable, not just an architecture stub)."""
+    import optax
+
+    from coma_tpu.models.segmentation import PersonSegmenter, SegmenterConfig
+    from coma_tpu.models.segmentation_train import (
+        SegTrainer,
+        bce_dice_loss,
+        synthetic_person_batch,
+    )
+
+    trainer = SegTrainer(
+        PersonSegmenter(SegmenterConfig(base_channels=8)),
+        optax.adamw(3e-3),
+    )
+    state = trainer.init(jax.random.PRNGKey(0), image_shape=(32, 32))
+    step = trainer.make_step()
+    losses = []
+    for i in range(120):
+        imgs, masks = synthetic_person_batch(rng, batch=8, size=32)
+        state, loss = step(state, jnp.asarray(imgs), jnp.asarray(masks))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    imgs, masks = synthetic_person_batch(rng, batch=16, size=32)
+    iou = float(trainer.iou(state["params"], jnp.asarray(imgs), jnp.asarray(masks)))
+    assert iou > 0.7, iou
+
+
+def test_segmenter_training_sharded_matches(rng):
+    """The mesh-sharded train step computes the same update as single-device."""
+    import optax
+
+    from coma_tpu.models.segmentation import PersonSegmenter, SegmenterConfig
+    from coma_tpu.models.segmentation_train import SegTrainer, synthetic_person_batch
+    from coma_tpu.parallel.sharding import default_mesh
+
+    trainer = SegTrainer(
+        PersonSegmenter(SegmenterConfig(base_channels=8)), optax.adamw(1e-3)
+    )
+    state = trainer.init(jax.random.PRNGKey(0), image_shape=(32, 32))
+    imgs, masks = synthetic_person_batch(rng, batch=8, size=32)
+    imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+
+    s1, l1 = trainer.make_step()(state, imgs, masks)
+    s8, l8 = trainer.make_step(mesh=default_mesh())(state, imgs, masks)
+    assert abs(float(l1) - float(l8)) < 1e-5
+    # Adam's rsqrt of near-zero second moments amplifies f32 reduction-order
+    # differences at step 1; ~1e-3 on the params is the expected noise floor
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     s1["params"], s8["params"])
+    assert max(jax.tree.leaves(d)) < 5e-3
