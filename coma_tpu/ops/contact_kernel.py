@@ -88,7 +88,14 @@ def _fit_geo2_poly(sigma: float, cutoff: float = 1e-14, degree: int = 8):
 
 
 def _geo2_gauss_fast(cos, poly, t_max, inv_s2, eps):
-    """exp(-arccos(cos)²/σ²) via the fitted θ²(t) polynomial + cutoff."""
+    """exp(-arccos(cos)²/σ²) via the fitted θ²(t) polynomial + cutoff.
+
+    Measured dead end (don't retry): fitting the WHOLE splat value
+    f(t) = exp(-θ²(t)/σ²) directly (degree 14, eliminating the exp) is
+    perf-NEUTRAL on v5e — the VPU's exp costs about the same as the 6 extra
+    Horner madds — and loses 4.6e-3 absolute accuracy to f32 Horner
+    cancellation on the wider-range fit. θ²-poly + exact exp is the optimum.
+    """
     t = jnp.maximum(1.0 - cos, eps)          # eps-clip matches the reference's
     inside = t <= t_max                      # arccos clip at cos -> 1
     tc = jnp.minimum(t, t_max)
