@@ -138,10 +138,14 @@ def sharded_occupancy_aggregate(
     mesh: Optional[Mesh] = None,
     valid: Optional[jax.Array] = None,
     axis_name: str = "data",
+    use_fused: Optional[bool] = None,
 ) -> OccupancyState:
-    """Occupancy counterpart of :func:`sharded_contact_aggregate`."""
+    """Occupancy counterpart of :func:`sharded_contact_aggregate`
+    (``use_fused``: per-shard Pallas hit kernel, default on iff TPU)."""
     mesh = mesh or default_mesh(axis_name)
     n_dev = mesh.shape[axis_name]
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
 
     B = human_verts.shape[0]
     B_pad = round_up(B, n_dev)
@@ -158,7 +162,12 @@ def sharded_occupancy_aggregate(
         s = dataclasses.replace(
             s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in occ_fields}
         )
-        s = occupancy_update_batch(s, hv, ov, valid=v)
+        if use_fused:
+            from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
+
+            s = fused_occupancy_update_batch(s, hv, ov, valid=v)
+        else:
+            s = occupancy_update_batch(s, hv, ov, valid=v)
         # anchor_vert is identical on every shard (same object vertex, the
         # reference asserts this across samples); take any shard's copy via
         # pmax rather than psum (which would scale it by the device count).

@@ -87,6 +87,10 @@ def aggregate_samples_tpu(state, samples: List[Dict[str, np.ndarray]], occupancy
     if occupancy:
         if multi:
             return sharded_occupancy_aggregate(state, hv, ov)
+        if jax.default_backend() != "cpu":
+            from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
+
+            return jax.jit(fused_occupancy_update_batch)(state, hv, ov)
         return jax.jit(occupancy_update_batch)(state, hv, ov)
     hn = stack("human_normals")
     on = stack("obj_normals")
@@ -114,10 +118,14 @@ def aggregate_samples_streaming(
 
     multi = len(jax.devices()) > 1
     if occupancy:
-        step = (
-            sharded_occupancy_aggregate if multi
-            else jax.jit(occupancy_update_batch)
-        )
+        if multi:
+            step = sharded_occupancy_aggregate
+        elif jax.default_backend() != "cpu":
+            from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
+
+            step = jax.jit(fused_occupancy_update_batch)
+        else:
+            step = jax.jit(occupancy_update_batch)
     elif multi:
         step = sharded_contact_aggregate
     elif jax.default_backend() != "cpu":
