@@ -17,6 +17,11 @@ Layout (same playbook as the contact kernel): h-tiles on the leading dim
 lanes accumulate garbage that the caller's final slice drops), samples
 statically unrolled with per-sample (TH,) sublane vectors broadcast against
 (1, L) voxel rows — both broadcasts layout-natural.
+
+Measured dead end (don't retry): computing d² as a packed (TH, 8) @ (8, Lp)
+MXU matmul per sample (HIGHEST precision for exact hit counts) is SLOWER
+(171 vs 190 samples/s) — the K-padded multi-pass matmul costs more than the
+three VPU broadcast madds it replaces.
 """
 from __future__ import annotations
 
