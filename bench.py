@@ -23,7 +23,7 @@ import numpy as np
 
 H, O, N = 10475, 180, 250
 SIGMA, GRID_SIZE, THRES, EPS = 0.25, 0.07, 0.03, 1e-10
-TPU_WARMUP, TPU_ITERS = 1, 16
+TPU_WARMUP, TPU_ITERS = 1, 32
 BASELINE_ITERS = 2
 
 

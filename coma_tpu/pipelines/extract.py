@@ -105,7 +105,7 @@ def aggregate_samples_tpu(state, samples: List[Dict[str, np.ndarray]], occupancy
 
 
 def aggregate_samples_streaming(
-    state, keys, prepare_fn, occupancy: bool, batch_size: int = 16,
+    state, keys, prepare_fn, occupancy: bool, batch_size: int = 32,
     num_workers: int = 4,
 ):
     """Stream samples through a prefetching loader; the TPU aggregates batch
