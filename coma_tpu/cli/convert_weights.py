@@ -51,8 +51,9 @@ def _torch_load(path: str, key=None):
 def main(argv=None) -> None:
     import os
 
-    # conversion is host-side; importing torch first also breaks the axon
-    # TPU plugin registration in this image, so pin the CPU backend
+    # conversion is host-side — no TPU needed; pinning the CPU backend also
+    # keeps the CLI independent of whether the TPU plugin registered (e.g.
+    # when PYTHONPATH was overridden without the plugin's site dir)
     import jax
 
     jax.config.update("jax_platforms", "cpu")

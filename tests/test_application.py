@@ -1,4 +1,6 @@
 """Tests for VPoser, COAP backends, and the ComA-driven HOI optimizer."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -160,3 +162,41 @@ def test_optimize_smpl_runs_and_descends(rng):
     assert result.vertices.shape == (32, 3)
     assert np.isfinite(result.vertices).all()
     assert all(np.isfinite(v) for v in result.losses.values())
+
+
+def test_optimize_cli(tmp_path, rng):
+    """The application CLI end to end on synthetic inputs."""
+    import json
+    import pickle
+
+    from coma_tpu.affordance.io import save_coma_state
+    from coma_tpu.cli import optimize as cli_opt
+
+    state = init_coma_state(32, 6, 16, 0.07, 0.5)
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    ov = rng.normal(size=(6, 3)) * 0.1
+    on = unit(rng.normal(size=(6, 3)))
+    state = contact_update(
+        state,
+        jnp.asarray(rng.normal(size=(32, 3)) * 0.1, jnp.float32),
+        jnp.asarray(unit(rng.normal(size=(32, 3))), jnp.float32),
+        jnp.asarray(ov, jnp.float32),
+        jnp.asarray(on, jnp.float32),
+    )
+    coma_pth = str(tmp_path / "coma.pickle")
+    save_coma_state(state, coma_pth)
+    obj_pth = str(tmp_path / "obj.pickle")
+    with open(obj_pth, "wb") as fh:
+        pickle.dump(dict(downsampled_pcd_points_raw=ov.astype(np.float32),
+                         downsampled_pcd_normal_raw=on.astype(np.float32)), fh)
+
+    out = str(tmp_path / "optimized.obj")
+    lj = str(tmp_path / "losses.json")
+    cli_opt.main([
+        "--coma_pth", coma_pth, "--obj_downsample_pth", obj_pth,
+        "--save_pth", out, "--losses_json", lj, "--num_iters", "20",
+        "--orientation_weight", "1e3", "--contact_weight", "1e3",
+    ])
+    assert os.path.getsize(out) > 0
+    losses = json.load(open(lj))
+    assert all(np.isfinite(v) for v in losses.values())
