@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--save_step_video", action="store_true",
+                        help="write a per-step mask/x0 GIF next to each batch's "
+                             "first image (the reference's use_visualizer)")
     parser.add_argument("--negative_prompt", type=str,
                         default="worst quality, normal quality, low quality, bad anatomy, artifacts, blurry")
     return parser
@@ -252,7 +255,11 @@ def main(argv=None) -> None:
         print("[inpaint] nothing to do")
         return
     pipe, run_params, encode_prompts, res = build_pipeline(args)
-    generate = jax.jit(pipe.generate_p)
+    import functools
+
+    generate = jax.jit(functools.partial(
+        pipe.generate_p, return_intermediates=args.save_step_video
+    ))
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
@@ -271,7 +278,20 @@ def main(argv=None) -> None:
         # per-image generator seed = inpaint_id (reference :308-309), folded
         # with the global seed
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
-        out = generate(run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
+        if args.save_step_video:
+            out, inter = generate(
+                run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg,
+            )
+            from coma_tpu.visualization.video import write_adaptive_mask_video
+
+            gif = chunk[0]["out"].rsplit(".", 1)[0] + ".steps.gif"
+            os.makedirs(os.path.dirname(gif), exist_ok=True)
+            write_adaptive_mask_video(
+                inter, lambda lat: pipe.vae_decode_fn(run_params, lat), gif,
+                sample=0, every=max(1, args.default_ddim_steps // 16),
+            )
+        else:
+            out = generate(run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
         out_np = (np.asarray(out) * 255).astype(np.uint8)
         for w, img in zip(chunk, out_np):
             os.makedirs(os.path.dirname(w["out"]), exist_ok=True)
