@@ -168,6 +168,7 @@ def splat_accumulate_padded(
     sigma: float,
     eps: float,
     tile_h: int = 8,
+    tile_o: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Accumulate S samples' splats into both PADDED grids with one HBM pass.
 
@@ -176,11 +177,16 @@ def splat_accumulate_padded(
     block) and stay padded across calls: pad/transpose once at the caller,
     slice/transpose once at the end. Padded lanes accumulate garbage splats;
     the caller's final slice drops them.
+
+    ``tile_o`` (0 = whole O in one block) tiles the lane dimension for large
+    O (the quant configs use O=2048, where a full-O block overflows VMEM).
     """
     S, H, O, _ = canon_h.shape
     N = grid.shape[0]
     Hp, Np, Op = ph_p.shape
-    assert Hp % tile_h == 0 and Np % 8 == 0
+    if tile_o <= 0:
+        tile_o = Op
+    assert Hp % tile_h == 0 and Np % 8 == 0 and Op % tile_o == 0
 
     # (S, H, O) -> (Hp, S8, Op): h on the leading dim (cheap dynamic index
     # in-kernel), S padded to a sublane multiple
@@ -194,11 +200,23 @@ def splat_accumulate_padded(
     g = jnp.zeros((Np, 8), dtype=grid.dtype).at[:N, :3].set(grid)
     v = valid.reshape(S, 1).astype(ph_p.dtype)
 
+    if tile_o == Op:
+        # 1-D grid (the common qual path): measured faster than a
+        # degenerate (x, 1) 2-D grid
+        grid_dims = (Hp // tile_h,)
+        comp_idx = lambda i: (i, 0, 0)
+        acc_idx = lambda i: (i, 0, 0)
+        const_idx = lambda i: (0, 0)
+    else:
+        grid_dims = (Hp // tile_h, Op // tile_o)
+        comp_idx = lambda i, j: (i, 0, j)
+        acc_idx = lambda i, j: (i, 0, j)
+        const_idx = lambda i, j: (0, 0)
     comp_spec = pl.BlockSpec(
-        (tile_h, S8, Op), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (tile_h, S8, tile_o), comp_idx, memory_space=pltpu.VMEM
     )
     acc_spec = pl.BlockSpec(
-        (tile_h, Np, Op), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (tile_h, Np, tile_o), acc_idx, memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
@@ -207,11 +225,11 @@ def splat_accumulate_padded(
     )
     return pl.pallas_call(
         kernel,
-        grid=(Hp // tile_h,),
+        grid=grid_dims,
         in_specs=[comp_spec] * 6
         + [
-            pl.BlockSpec((Np, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Np, 8), const_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), const_idx, memory_space=pltpu.SMEM),
             acc_spec,
             acc_spec,
         ],
@@ -302,7 +320,15 @@ def fused_contact_update_batch(
     # place (aliased) with zero copies.
     tile_h = 8
     N = state.normal_res
-    Hp, Op, Np = _round_up(H, tile_h), _round_up(O, 8), _round_up(N, 8)
+    Hp, Np = _round_up(H, tile_h), _round_up(N, 8)
+    # large O (quant configs: 2048) must tile the lane dim or the (TH, Np,
+    # Op) block overflows VMEM; small O keeps the full-dim block
+    if O > 512:
+        tile_o = 512
+        Op = _round_up(O, tile_o)
+    else:
+        Op = _round_up(O, 8)
+        tile_o = Op
     to_t = lambda a: jnp.pad(
         jnp.swapaxes(a, 1, 2), ((0, Hp - H), (0, Np - N), (0, Op - O))
     )
@@ -336,6 +362,7 @@ def fused_contact_update_batch(
         ph_p, po_p = splat_accumulate_padded(
             ph_p, po_p, canon_h, canon_o, s.canon_normal_grid, v,
             sigma=s.normal_gaussian_sigma, eps=s.eps, tile_h=tile_h,
+            tile_o=tile_o,
         )
         return (
             ph_p,
