@@ -184,3 +184,49 @@ def test_behave_sequence_reader(tmp_path, rng):
     assert reader.times2indices(["t0010.000", "t0002.000"]) == [2, 0]
     # missing fit -> graceful Nones
     assert reader.get_objfit_params(0, "nope") == (None, None)
+
+
+def test_prepare_inputs_object_mesh_crosscheck(tmp_path, rng):
+    """object_mesh_for_check_pth: the redundant-load assertion
+    (utils/coma.py:694-699) passes on a matching OBJ and trips on a
+    mismatched one."""
+    from coma_tpu.geometry.mesh import save_obj
+    from coma_tpu.pipelines.affordance_inputs import (
+        prepare_affordance_extraction_inputs,
+    )
+
+    hv = CUBE_V * 0.5
+    with open(tmp_path / "human.pickle", "wb") as fh:
+        pickle.dump(dict(verts=hv, faces=CUBE_F), fh)
+    human_meta = dict(downsample_indices=list(range(8)), N=8)
+    obj_meta = dict(
+        obj_vertices_original=CUBE_V.astype(np.float64),
+        obj_faces_original=CUBE_F,
+        obj_vertex_normals_original=rng.normal(size=(8, 3)),
+        downsample_indices=list(range(8)), N=8,
+    )
+    good = str(tmp_path / "obj.obj")
+    save_obj(good, CUBE_V, CUBE_F)
+    out = prepare_affordance_extraction_inputs(
+        human_mesh_pth=str(tmp_path / "human.pickle"),
+        human_downsample_metadata=human_meta,
+        object_downsample_metadata=obj_meta,
+        human_use_downsample_pcd_raw=False,
+        object_use_downsample_pcd_raw=False,
+        eps=1e-8,
+        object_mesh_for_check_pth=good,
+    )
+    assert out["obj_verts"].shape == (8, 3)
+
+    bad = str(tmp_path / "bad.obj")
+    save_obj(bad, CUBE_V + 0.5, CUBE_F)
+    with pytest.raises(AssertionError):
+        prepare_affordance_extraction_inputs(
+            human_mesh_pth=str(tmp_path / "human.pickle"),
+            human_downsample_metadata=human_meta,
+            object_downsample_metadata=obj_meta,
+            human_use_downsample_pcd_raw=False,
+            object_use_downsample_pcd_raw=False,
+            eps=1e-8,
+            object_mesh_for_check_pth=bad,
+        )
