@@ -36,3 +36,20 @@ def test_batched_inputs(rng):
     p = jnp.array(rng.uniform(size=(4, 16)), dtype=jnp.float32)
     s = float(similarity(p, p))
     assert abs(s - 1.0) < 1e-5
+
+
+def test_profiling_helpers(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from coma_tpu.utils.profiling import timed, trace
+
+    f = lambda x: x * 2 + 1
+    dt, out = timed(f, jnp.arange(8.0), iters=2)
+    assert dt >= 0 and float(out[1]) == 3.0
+
+    d = str(tmp_path / "tr")
+    with trace(d):
+        _ = f(jnp.arange(4.0)).sum()
+    assert os.path.isdir(d) and len(os.listdir(d)) > 0
