@@ -199,3 +199,29 @@ def test_tokenizer_basic(tmp_path):
     assert 1 in ids[0]     # EOS present
     decoded = [tok.decoder[i] for i in ids[0] if i not in (0, 1)]
     assert decoded[0] == "a</w>"
+
+
+def test_clip_text_parity_vs_transformers(rng):
+    """Converted weights through our CLIPTextEncoder must match the real
+    torch CLIPTextModel (transformers) hidden states."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    from coma_tpu.models.diffusion.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from coma_tpu.models.diffusion.weights import convert_clip_text
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=1000, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+    )
+    hf = transformers.CLIPTextModel(hf_cfg).eval()
+    ids = rng.integers(1, 1000, size=(2, 77))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2)
+    variables = convert_clip_text(sd, config=cfg)
+    got = np.asarray(CLIPTextEncoder(cfg).apply(variables, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
