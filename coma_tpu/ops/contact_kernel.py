@@ -242,7 +242,7 @@ def splat_accumulate_padded(
         ],
         input_output_aliases={8: 0, 9: 1},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * S * Hp * Op * Np * 10,
@@ -321,9 +321,10 @@ def fused_contact_update_batch(
     tile_h = 8
     N = state.normal_res
     Hp, Np = _round_up(H, tile_h), _round_up(N, 8)
-    # large O (quant configs: 2048) must tile the lane dim or the (TH, Np,
-    # Op) block overflows VMEM; small O keeps the full-dim block
-    if O > 512:
+    # very large O (quant:full O=2048) must tile the lane dim or the
+    # (TH, Np, Op) block overflows VMEM; O<=1536 keeps the full-dim block
+    # (measured: Op=1504 compiles and the 1-D grid is faster than tiling)
+    if O > 1536:
         tile_o = 512
         Op = _round_up(O, tile_o)
     else:
@@ -346,21 +347,15 @@ def fused_contact_update_batch(
         sig = jnp.where(keep, (dists < s.spatial_grid_thres).astype(dists.dtype), 0.0)
         prox = jnp.where(keep, jnp.exp(-dists / s.spatial_grid_size), 0.0)
 
-        canon_h = jax.vmap(
-            lambda a, b: canonicalize_pairwise(
-                a, b, s.principle_vec, s.sub_principle_vec, s.eps
-            )
-        )(hn, on)                                                   # (S, H, O, 3)
-        canon_o = jax.vmap(
-            lambda a, b: jnp.swapaxes(
-                canonicalize_pairwise(
-                    a, b, s.principle_vec, s.sub_principle_vec, s.eps
-                ), 0, 1,
-            )
-        )(on, hn)                                                   # (S, H, O, 3)
+        # canonicalization happens INSIDE the kernel (v2): only the raw
+        # normals ship in — no (S, H, O, 3) canon tensors, no component
+        # relayouts (they cost as much as the splat at wide-O shapes)
+        from coma_tpu.geometry.transforms import normalize_vectors
 
-        ph_p, po_p = splat_accumulate_padded(
-            ph_p, po_p, canon_h, canon_o, s.canon_normal_grid, v,
+        ph_p, po_p = canon_splat_accumulate_padded(
+            ph_p, po_p, hn, on, s.canon_normal_grid, v,
+            normalize_vectors(s.principle_vec[None], s.eps)[0],
+            normalize_vectors(s.sub_principle_vec[None], s.eps)[0],
             sigma=s.normal_gaussian_sigma, eps=s.eps, tile_h=tile_h,
             tile_o=tile_o,
         )
@@ -402,4 +397,185 @@ def fused_contact_update_batch(
         contact_dist_expectation_grid_denom=den,
         significant_contact_count=sig,
         used_count=used,
+    )
+
+
+# --------------------------------------------------------------------------
+# v2: canonicalization fused INTO the kernel
+# --------------------------------------------------------------------------
+#
+# The XLA-side canonicalize + (Hp, S8, Op) relayout of six component planes
+# costs as much as the splat itself at wide-O shapes (measured ~30-60 ms per
+# slab). The canonicalization is per-PAIR (h, o) — independent of N — so it
+# is a (1, TO) lane-row epilogue inside the kernel (<7% of the splat work),
+# and the kernel inputs collapse to the raw normals.
+
+def _canon_splat_kernel(
+    ox_ref, oy_ref, oz_ref,   # (S8, TO) object normal components (VMEM)
+    hx_ref, hy_ref, hz_ref,   # (TH, S8) human normal components (SMEM)
+    g_ref,                    # (Np, 8): sphere grid xyz in cols 0..2 (VMEM)
+    pq_ref,                   # (8, 1) SMEM: p (rows 0-2), sub_p (rows 3-5)
+    v_ref,                    # (S, 1) SMEM validity
+    ph_in, po_in, ph_out, po_out,   # aliased accumulators (TH, Np, TO)
+    *, S: int, TH: int, sigma: float, eps: float, geo2_poly=None,
+):
+    gx = g_ref[:, 0][:, None]
+    gy = g_ref[:, 1][:, None]
+    gz = g_ref[:, 2][:, None]
+    px, py, pz = pq_ref[0, 0], pq_ref[1, 0], pq_ref[2, 0]
+    qx, qy, qz = pq_ref[3, 0], pq_ref[4, 0], pq_ref[5, 0]
+    inv_s2 = 1.0 / (sigma * sigma)
+
+    def gauss(cos):
+        if geo2_poly is not None:
+            poly, t_max = geo2_poly
+            return _geo2_gauss_fast(cos, poly, t_max, inv_s2, eps)
+        geo = acos_f32(jnp.clip(cos, -1.0 + eps, 1.0 - eps))
+        return jnp.exp(-(geo * geo) * inv_s2)
+
+    def h_body(h, _):
+        acc_h = ph_in[h]
+        acc_o = po_in[h]
+        for s in range(S):
+            v = v_ref[s, 0]
+            # --- normalized inputs (matches canonicalize_pairwise's
+            # normalize_first + x/max(norm, eps) semantics) ---
+            hx0, hy0, hz0 = hx_ref[h, s], hy_ref[h, s], hz_ref[h, s]
+            hn_n = jnp.maximum(jnp.sqrt(hx0 * hx0 + hy0 * hy0 + hz0 * hz0), eps)
+            hx, hy, hz = hx0 / hn_n, hy0 / hn_n, hz0 / hn_n
+            ox0 = ox_ref[s, :][None, :]          # (1, TO)
+            oy0 = oy_ref[s, :][None, :]
+            oz0 = oz_ref[s, :][None, :]
+            on_n = jnp.maximum(jnp.sqrt(ox0 * ox0 + oy0 * oy0 + oz0 * oz0), eps)
+            ox, oy, oz = ox0 / on_n, oy0 / on_n, oz0 / on_n
+
+            # shared pair terms
+            a_dot_b = hx * ox + hy * oy + hz * oz          # (1, TO) h·o
+            h_dot_p = hx * px + hy * py + hz * pz          # scalar
+            h_dot_q = hx * qx + hy * qy + hz * qz
+            o_dot_p = ox * px + oy * py + oz * pz          # (1, TO)
+            o_dot_q = ox * qx + oy * qy + oz * qz
+
+            def canon(aw, wk, inv, sing, c, ak, apk, bk, flipk):
+                """out_k = a·w w_k inv + c a_k + (a·b) p_k - (a·p) b_k,
+                flipped to 2(a·q)q_k - a_k on the singular branch."""
+                pk = (px, py, pz)
+                out = [
+                    aw * wk[k] * inv + c * ak[k] + a_dot_b * pk[k] - apk * bk[k]
+                    for k in range(3)
+                ]
+                out = [jnp.where(sing, flipk[k], out[k]) for k in range(3)]
+                n = jnp.sqrt(out[0] * out[0] + out[1] * out[1] + out[2] * out[2])
+                n = jnp.maximum(n, eps)
+                return out[0] / n, out[1] / n, out[2] / n
+
+            # direction 1: canon(a=human, b=object) -> human-wrt-obj grid
+            w1 = (oy * pz - oz * py, oz * px - ox * pz, ox * py - oy * px)
+            a_dot_w1 = hx * w1[0] + hy * w1[1] + hz * w1[2]
+            sing1 = (1.0 + o_dot_p) < eps
+            inv1 = jnp.where(sing1, 0.0, 1.0 / jnp.where(sing1, 1.0, 1.0 + o_dot_p))
+            flip1 = (2.0 * h_dot_q * qx - hx, 2.0 * h_dot_q * qy - hy,
+                     2.0 * h_dot_q * qz - hz)
+            cxh, cyh, czh = canon(a_dot_w1, w1, inv1, sing1, o_dot_p,
+                                  (hx, hy, hz), h_dot_p, (ox, oy, oz), flip1)
+
+            # direction 2: canon(a=object, b=human) -> obj-wrt-human grid
+            w2 = (hy * pz - hz * py, hz * px - hx * pz, hx * py - hy * px)
+            a_dot_w2 = ox * w2[0] + oy * w2[1] + oz * w2[2]
+            sing2 = (1.0 + h_dot_p) < eps
+            inv2 = jnp.where(sing2, 0.0, 1.0 / jnp.where(sing2, 1.0, 1.0 + h_dot_p))
+            flip2 = (2.0 * o_dot_q * qx - ox, 2.0 * o_dot_q * qy - oy,
+                     2.0 * o_dot_q * qz - oz)
+            cxo, cyo, czo = canon(a_dot_w2, w2, inv2, sing2, h_dot_p,
+                                  (ox, oy, oz), o_dot_p, (hx, hy, hz), flip2)
+
+            acc_h = acc_h + v * gauss(gx * cxh + gy * cyh + gz * czh)
+            acc_o = acc_o + v * gauss(gx * cxo + gy * cyo + gz * czo)
+        ph_out[h] = acc_h
+        po_out[h] = acc_o
+        return 0
+
+    jax.lax.fori_loop(0, TH, h_body, 0)
+
+
+def canon_splat_accumulate_padded(
+    ph_p: jax.Array,          # (Hp, Np, Op) padded transposed accumulator
+    po_p: jax.Array,
+    human_normals: jax.Array,  # (S, H, 3)
+    obj_normals: jax.Array,    # (S, O, 3)
+    grid: jax.Array,           # (N, 3)
+    valid: jax.Array,          # (S,)
+    p: jax.Array,              # (3,) principal axis (normalized)
+    sub_p: jax.Array,          # (3,)
+    sigma: float,
+    eps: float,
+    tile_h: int = 8,
+    tile_o: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """v2 entry: canonicalize + splat + accumulate, one HBM pass per slab."""
+    S, H, _ = human_normals.shape
+    O = obj_normals.shape[1]
+    N = grid.shape[0]
+    Hp, Np, Op = ph_p.shape
+    if tile_o <= 0:
+        tile_o = Op
+    assert Hp % tile_h == 0 and Np % 8 == 0 and Op % tile_o == 0
+
+    S8 = _round_up(S, 8)
+    hcomp = lambda k: jnp.pad(
+        jnp.swapaxes(human_normals[..., k], 0, 1), ((0, Hp - H), (0, S8 - S))
+    )                                                           # (Hp, S8)
+    ocomp = lambda k: jnp.pad(obj_normals[..., k], ((0, S8 - S), (0, Op - O)))
+    g = jnp.zeros((Np, 8), dtype=grid.dtype).at[:N, :3].set(grid)
+    pq = jnp.concatenate([p, sub_p, jnp.zeros(2, p.dtype)]).reshape(8, 1)
+    v = valid.reshape(S, 1).astype(ph_p.dtype)
+
+    if tile_o == Op:
+        grid_dims = (Hp // tile_h,)
+        o_idx = lambda i: (0, 0)
+        h_idx = lambda i: (i, 0)
+        acc_idx = lambda i: (i, 0, 0)
+        const_idx = lambda i: (0, 0)
+    else:
+        grid_dims = (Hp // tile_h, Op // tile_o)
+        o_idx = lambda i, j: (0, j)
+        h_idx = lambda i, j: (i, 0)
+        acc_idx = lambda i, j: (i, 0, j)
+        const_idx = lambda i, j: (0, 0)
+
+    o_spec = pl.BlockSpec((S8, tile_o), o_idx, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((tile_h, S8), h_idx, memory_space=pltpu.SMEM)
+    acc_spec = pl.BlockSpec((tile_h, Np, tile_o), acc_idx, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _canon_splat_kernel, S=S, TH=tile_h, sigma=float(sigma), eps=float(eps),
+        geo2_poly=_fit_geo2_poly(float(sigma)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid_dims,
+        in_specs=[o_spec] * 3
+        + [h_spec] * 3
+        + [
+            pl.BlockSpec((Np, 8), const_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), const_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, 1), const_idx, memory_space=pltpu.SMEM),
+            acc_spec,
+            acc_spec,
+        ],
+        out_specs=[acc_spec, acc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(ph_p.shape, ph_p.dtype, vma=jax.typeof(ph_p).vma),
+            jax.ShapeDtypeStruct(po_p.shape, po_p.dtype, vma=jax.typeof(po_p).vma),
+        ],
+        input_output_aliases={9: 0, 10: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Hp * Op * Np * 10,
+            bytes_accessed=2 * 2 * Hp * Op * Np * 4 + 3 * S * (Hp + Op) * 4,
+            transcendentals=2 * S * Hp * Op * Np * 2,
+        ),
+    )(
+        ocomp(0), ocomp(1), ocomp(2), hcomp(0), hcomp(1), hcomp(2),
+        g, pq, v, ph_p, po_p,
     )
