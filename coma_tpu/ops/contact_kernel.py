@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from coma_tpu.affordance.canonicalize import canonicalize_pairwise
 from coma_tpu.affordance.state import ComAState
+from coma_tpu.geometry.transforms import normalize_vectors
 
 
 def _round_up(n: int, m: int) -> int:
@@ -350,8 +350,6 @@ def fused_contact_update_batch(
         # canonicalization happens INSIDE the kernel (v2): only the raw
         # normals ship in — no (S, H, O, 3) canon tensors, no component
         # relayouts (they cost as much as the splat at wide-O shapes)
-        from coma_tpu.geometry.transforms import normalize_vectors
-
         ph_p, po_p = canon_splat_accumulate_padded(
             ph_p, po_p, hn, on, s.canon_normal_grid, v,
             normalize_vectors(s.principle_vec[None], s.eps)[0],
