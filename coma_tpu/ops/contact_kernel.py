@@ -105,188 +105,6 @@ def _geo2_gauss_fast(cos, poly, t_max, inv_s2, eps):
     return jnp.where(inside, jnp.exp(-acc * inv_s2), 0.0)
 
 
-def _splat_accumulate_kernel(
-    # inputs (per h-tile); accumulators use the TRANSPOSED (H, N, O) layout:
-    # with O in lanes and N in sublanes, the per-(h) splat is the outer
-    # product g(N, sublanes) x c(O, lanes) — both broadcasts are
-    # layout-natural. (The (H, O, N) layout needs a lanes->sublanes relayout
-    # of the canon planes per element, ~15x slower measured.)
-    ch_refs,   # 3 refs, each (TH, S8, TO): canon human-wrt-obj components
-    co_refs,   # 3 refs, each (TH, S8, TO): canon obj-wrt-human components
-    g_ref,     # (Np, 8): sphere grid components in cols 0..2
-    v_ref,     # (S, 1) in SMEM: validity mask
-    ph_in, po_in,          # aliased accumulator inputs (TH, Np, TO)
-    ph_out, po_out,        # aliased outputs
-    *,
-    S: int,
-    TH: int,
-    sigma: float,
-    eps: float,
-    geo2_poly=None,
-):
-    # Comp layout (TH, S8, TO): the dynamic h index lands on the cheap
-    # leading dim; a dynamic index into the sublane dim (e.g. (S, TH, TO)
-    # with h second) lowers to scalar gathers, ~1000x slower measured.
-    gx = g_ref[:, 0][:, None]   # (Np, 1)
-    gy = g_ref[:, 1][:, None]
-    gz = g_ref[:, 2][:, None]
-    inv_s2 = 1.0 / (sigma * sigma)
-
-    def h_body(h, _):
-        def splat(cx_ref, cy_ref, cz_ref, s):
-            cos = (
-                gx * cx_ref[h, s, :][None, :]
-                + gy * cy_ref[h, s, :][None, :]
-                + gz * cz_ref[h, s, :][None, :]
-            )                                     # (Np, TO)
-            if geo2_poly is not None:
-                poly, t_max = geo2_poly
-                return _geo2_gauss_fast(cos, poly, t_max, inv_s2, eps)
-            geo = acos_f32(jnp.clip(cos, -1.0 + eps, 1.0 - eps))
-            return jnp.exp(-(geo * geo) * inv_s2)
-
-        acc_h = ph_in[h]
-        acc_o = po_in[h]
-        for s in range(S):  # static unroll; S is the small batch slab
-            v = v_ref[s, 0]
-            acc_h = acc_h + v * splat(*ch_refs, s)
-            acc_o = acc_o + v * splat(*co_refs, s)
-        ph_out[h] = acc_h
-        po_out[h] = acc_o
-        return 0
-
-    jax.lax.fori_loop(0, TH, h_body, 0)
-
-
-def splat_accumulate_padded(
-    ph_p: jax.Array,      # (Hp, Np, Op) PRE-PADDED TRANSPOSED accumulator
-    po_p: jax.Array,      # (Hp, Np, Op) PRE-PADDED TRANSPOSED accumulator
-    canon_h: jax.Array,   # (S, H, O, 3) canon human-wrt-obj
-    canon_o: jax.Array,   # (S, H, O, 3) canon obj-wrt-human (already HxO)
-    grid: jax.Array,      # (N, 3) sphere grid
-    valid: jax.Array,     # (S,)
-    sigma: float,
-    eps: float,
-    tile_h: int = 8,
-    tile_o: int = 0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Accumulate S samples' splats into both PADDED grids with one HBM pass.
-
-    The accumulators live in the transposed (H, N, O) layout with O in lanes
-    (padded to a sublane multiple only, e.g. 180 -> 184 lanes as a full-dim
-    block) and stay padded across calls: pad/transpose once at the caller,
-    slice/transpose once at the end. Padded lanes accumulate garbage splats;
-    the caller's final slice drops them.
-
-    ``tile_o`` (0 = whole O in one block) tiles the lane dimension for large
-    O (the quant configs use O=2048, where a full-O block overflows VMEM).
-    """
-    S, H, O, _ = canon_h.shape
-    N = grid.shape[0]
-    Hp, Np, Op = ph_p.shape
-    if tile_o <= 0:
-        tile_o = Op
-    assert Hp % tile_h == 0 and Np % 8 == 0 and Op % tile_o == 0
-
-    # (S, H, O) -> (Hp, S8, Op): h on the leading dim (cheap dynamic index
-    # in-kernel), S padded to a sublane multiple
-    S8 = _round_up(S, 8)
-    relayout = lambda x: jnp.pad(
-        jnp.swapaxes(x, 0, 1), ((0, Hp - H), (0, S8 - S), (0, Op - O))
-    )
-    comps_h = [relayout(canon_h[..., k]) for k in range(3)]
-    comps_o = [relayout(canon_o[..., k]) for k in range(3)]
-    # grid components as (Np, 8) columns (lanes dim = full array dim)
-    g = jnp.zeros((Np, 8), dtype=grid.dtype).at[:N, :3].set(grid)
-    v = valid.reshape(S, 1).astype(ph_p.dtype)
-
-    if tile_o == Op:
-        # 1-D grid (the common qual path): measured faster than a
-        # degenerate (x, 1) 2-D grid
-        grid_dims = (Hp // tile_h,)
-        comp_idx = lambda i: (i, 0, 0)
-        acc_idx = lambda i: (i, 0, 0)
-        const_idx = lambda i: (0, 0)
-    else:
-        grid_dims = (Hp // tile_h, Op // tile_o)
-        comp_idx = lambda i, j: (i, 0, j)
-        acc_idx = lambda i, j: (i, 0, j)
-        const_idx = lambda i, j: (0, 0)
-    comp_spec = pl.BlockSpec(
-        (tile_h, S8, tile_o), comp_idx, memory_space=pltpu.VMEM
-    )
-    acc_spec = pl.BlockSpec(
-        (tile_h, Np, tile_o), acc_idx, memory_space=pltpu.VMEM
-    )
-
-    kernel = functools.partial(
-        _wrapped_kernel, S=S, TH=tile_h, sigma=float(sigma), eps=float(eps),
-        geo2_poly=_fit_geo2_poly(float(sigma)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid_dims,
-        in_specs=[comp_spec] * 6
-        + [
-            pl.BlockSpec((Np, 8), const_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), const_idx, memory_space=pltpu.SMEM),
-            acc_spec,
-            acc_spec,
-        ],
-        out_specs=[acc_spec, acc_spec],
-        # propagate the inputs' varying-across-mesh-axes set so the kernel
-        # composes with shard_map(check_vma=True) (fused multi-chip path)
-        out_shape=[
-            jax.ShapeDtypeStruct(ph_p.shape, ph_p.dtype, vma=jax.typeof(ph_p).vma),
-            jax.ShapeDtypeStruct(po_p.shape, po_p.dtype, vma=jax.typeof(po_p).vma),
-        ],
-        input_output_aliases={8: 0, 9: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * S * Hp * Op * Np * 10,
-            bytes_accessed=2 * 2 * Hp * Op * Np * 4 + 6 * S * Hp * Op * 4,
-            transcendentals=2 * S * Hp * Op * Np * 2,
-        ),
-    )(*comps_h, *comps_o, g, v, ph_p, po_p)
-
-
-def splat_accumulate(
-    ph: jax.Array,
-    po: jax.Array,
-    canon_h: jax.Array,
-    canon_o: jax.Array,
-    grid: jax.Array,
-    valid: jax.Array,
-    sigma: float,
-    eps: float,
-    tile_h: int = 8,
-) -> Tuple[jax.Array, jax.Array]:
-    """One-shot convenience wrapper: pad+transpose -> kernel -> untranspose."""
-    H, O, N = ph.shape
-    Hp, Op, Np = _round_up(H, tile_h), _round_up(O, 8), _round_up(N, 8)
-    to_t = lambda a: jnp.pad(
-        jnp.swapaxes(a, 1, 2), ((0, Hp - H), (0, Np - N), (0, Op - O))
-    )
-    out_h, out_o = splat_accumulate_padded(
-        to_t(ph), to_t(po), canon_h, canon_o, grid, valid, sigma, eps, tile_h
-    )
-    from_t = lambda a: jnp.swapaxes(a[:H, :N, :O], 1, 2)
-    return from_t(out_h), from_t(out_o)
-
-
-def _wrapped_kernel(
-    chx, chy, chz, cox, coy, coz, g_ref, v_ref, ph_in, po_in, ph_out, po_out,
-    *, S, TH, sigma, eps, geo2_poly=None,
-):
-    _splat_accumulate_kernel(
-        (chx, chy, chz), (cox, coy, coz), g_ref, v_ref,
-        ph_in, po_in, ph_out, po_out, S=S, TH=TH, sigma=sigma, eps=eps,
-        geo2_poly=geo2_poly,
-    )
-
-
 def fused_contact_update_batch(
     state: ComAState,
     human_verts: jax.Array,    # (B, H, 3)
