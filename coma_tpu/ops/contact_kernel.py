@@ -64,13 +64,15 @@ def acos_f32(x):
     return jnp.where(small, r_small, jnp.where(x > 0, r_pos, r_neg))
 
 
-def _fit_geo2_poly(sigma: float, cutoff: float = 1e-14, degree: int = 8):
+def _fit_geo2_poly(sigma: float, cutoff: float = 1e-8, degree: int = 6):
     """Trace-time polynomial fit of θ² = arccos(1-t)² over the t-range where
     exp(-θ²/σ²) > cutoff.
 
     θ²(t) is analytic at t=0 (θ ≈ √(2t) ⇒ θ² ≈ 2t), so a low-degree poly is
-    ~1e-8-accurate on [0, t_max] — and everything past t_max contributes less
-    than ``cutoff`` to the accumulators (invisible at f32). Returns
+    accurate on [0, t_max] — and everything past t_max contributes less
+    than ``cutoff`` to the accumulators (invisible at f32, whose ulp near
+    O(1) accumulator values is ~6e-8; degree 6 at cutoff 1e-8 keeps the
+    splat-value error at 1.8e-7, identical to degree 8 at 1e-14). Returns
     (coeffs ascending, t_max), or None when the cutoff never bites
     (σ ≳ 0.55 ⇒ fall back to the exact arccos path).
     """
