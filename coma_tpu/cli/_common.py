@@ -57,3 +57,51 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def filter_known_args(parser, argv):
+    """Keep only the options (with their values) that ``parser`` defines.
+
+    The orchestrators (generate_2d_hoi_images / generate_3d_hoi_samples /
+    learn_coma) accept one mixed flag list for all their stages — like the
+    reference's bash scripts, where each python stage only reads its own
+    flags. Each stage main re-parses, so unknown flags must be dropped here.
+    """
+    import argparse as _ap
+
+    by_option = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            by_option[opt] = action
+
+    def value_count(action):
+        if action.nargs == 0:
+            return 0
+        if action.nargs in (None, "?"):
+            return 1
+        if isinstance(action.nargs, int):
+            return action.nargs
+        return -1  # '*' / '+': greedy until the next option
+
+    out, i = [], 0
+    while i < len(argv):
+        tok = argv[i]
+        opt = tok.split("=", 1)[0]
+        action = by_option.get(opt)
+        keep = action is not None
+        if keep:
+            out.append(tok)
+        if "=" in tok or (action is not None and value_count(action) == 0):
+            i += 1
+            continue
+        # consume this option's value tokens (greedy for */+ and unknowns)
+        n = value_count(action) if action is not None else -1
+        j = i + 1
+        taken = 0
+        while j < len(argv) and not argv[j].startswith("--") and (n < 0 or taken < n):
+            if keep:
+                out.append(argv[j])
+            j += 1
+            taken += 1
+        i = j
+    return out

@@ -14,18 +14,20 @@ def main(argv=None) -> None:
     args, passthrough = parser.parse_known_args(argv)
 
     from coma_tpu.cli import generate_prompts, inpaint, render_objects, select_mask
+    from coma_tpu.cli._common import filter_known_args
 
     stages = [
-        ("render", render_objects.main),
-        ("select_mask", select_mask.main),
-        ("prompts", generate_prompts.main),
-        ("inpaint", inpaint.main),
+        ("render", render_objects),
+        ("select_mask", select_mask),
+        ("prompts", generate_prompts),
+        ("inpaint", inpaint),
     ]
-    for name, stage_main in stages:
+    for name, mod in stages:
         if name in args.skip:
             continue
         print(f"===== stage: {name} =====")
-        stage_main(passthrough)
+        # each stage reads only its own flags (like the reference's bash)
+        mod.main(filter_known_args(mod.build_parser(), passthrough))
 
 
 if __name__ == "__main__":

@@ -25,18 +25,21 @@ def main(argv=None) -> None:
         segment_human,
     )
 
+    from coma_tpu.cli._common import filter_known_args
+
     stages = [
-        ("segment", segment_human.main),
-        ("predict", predict_human.main),
-        ("init", initialize_depth.main),
-        ("optimize", optimize_depth.main),
-        ("metrics", compute_metrics.main),
+        ("segment", segment_human),
+        ("predict", predict_human),
+        ("init", initialize_depth),
+        ("optimize", optimize_depth),
+        ("metrics", compute_metrics),
     ]
-    for name, stage_main in stages:
+    for name, mod in stages:
         if name in args.skip:
             continue
         print(f"===== stage: {name} =====")
-        stage_main(passthrough)
+        # each stage reads only its own flags (like the reference's bash)
+        mod.main(filter_known_args(mod.build_parser(), passthrough))
 
 
 if __name__ == "__main__":

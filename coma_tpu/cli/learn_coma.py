@@ -22,21 +22,28 @@ def main(argv=None) -> None:
 
     from coma_tpu.cli import downsample_human, downsample_objects, extract_coma
     from coma_tpu.cli import filter as filter_cli
+    from coma_tpu.cli._common import filter_known_args
 
+    # each stage reads only its own flags (like the reference's bash)
+    known = lambda mod, extra=(): filter_known_args(
+        mod.build_parser(), passthrough
+    ) + list(extra)
     if "filter" not in args.skip:
         print("===== stage: filter =====")
-        filter_cli.main(passthrough)
+        filter_cli.main(known(filter_cli))
     if "downsample_human" not in args.skip:
         print("===== stage: downsample_human =====")
-        downsample_human.main(passthrough)
+        downsample_human.main(known(downsample_human))
     if "downsample_objects" not in args.skip:
         print("===== stage: downsample_objects =====")
         for res in args.object_resolutions:
-            downsample_objects.main(passthrough + ["--number_of_points", str(res)])
+            downsample_objects.main(
+                known(downsample_objects, ["--number_of_points", str(res)])
+            )
     if "extract" not in args.skip:
         for key in args.hyperparams_keys:
             print(f"===== stage: extract ({key}) =====")
-            extract_coma.main(passthrough + ["--hyperparams_key", key])
+            extract_coma.main(known(extract_coma, ["--hyperparams_key", key]))
 
 
 if __name__ == "__main__":

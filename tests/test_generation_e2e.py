@@ -78,3 +78,46 @@ def test_generate_2d_hoi_images_tiny(tmp_path, monkeypatch):
     img = np.asarray(Image.open(outs[0]))
     assert img.shape == (64, 64, 3)
     assert np.isfinite(img).all()
+
+
+def test_filter_known_args():
+    import argparse
+
+    from coma_tpu.cli._common import filter_known_args
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--a", type=str)
+    p.add_argument("--flag", action="store_true")
+    p.add_argument("--pair", type=int, nargs=2)
+    p.add_argument("--many", type=str, nargs="+")
+    argv = ["--unknown", "x", "y", "--a", "1", "--flag", "--pair", "2", "3",
+            "--many", "m1", "m2", "--other=z", "--a=override"]
+    out = filter_known_args(p, argv)
+    assert out == ["--a", "1", "--flag", "--pair", "2", "3",
+                   "--many", "m1", "m2", "--a=override"]
+    # the filtered list must parse cleanly
+    ns = p.parse_args(out)
+    assert ns.a == "override" and ns.flag and ns.pair == [2, 3]
+
+
+@pytest.mark.slow
+def test_generate_2d_orchestrator_mixed_flags(tmp_path, monkeypatch):
+    """The orchestrator forwards one mixed flag list; each stage must read
+    only its own flags (regression: select_mask used to crash on render's
+    --obj_pth)."""
+    from coma_tpu.cli import generate_2d_hoi_images as orch
+
+    monkeypatch.chdir(tmp_path)
+    obj_pth = str(tmp_path / "asset.obj")
+    save_obj(obj_pth, CUBE_V, CUBE_F)
+    orch.main([
+        "--skip", "prompts", "inpaint",
+        "--obj_pth", obj_pth, "--supercategory", SC, "--category", CAT,
+        "--asset_id", ASSET, "--resolution", "64", "64",
+        "--default_view_num", "2", "--default_perturb_sample_num", "1",
+        "--default_stride_x", "0.5", "--default_stride_y", "0.5",
+        "--default_min_seg_overlap_ratio", "0.0",
+        "--default_max_seg_overlap_ratio", "1.0",
+    ])
+    assert len(glob.glob("results/generation/renders/*/*/*/*.png")) == 2
+    assert len(glob.glob("results/generation/valid_masks/*/*/*/*.pickle")) == 2
