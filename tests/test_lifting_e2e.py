@@ -195,3 +195,22 @@ def test_filter_and_extract_consume_lifting_outputs(scene):
     contact = np.load(saved[0])
     assert np.isfinite(contact).all()
     assert abs(contact.max() - 1.0) < 1e-5
+
+
+def test_generate_3d_orchestrator_mixed_flags(scene):
+    """The 3D orchestrator forwards one mixed flag list across init /
+    optimize / metrics; each stage must read only its own flags (regression
+    for the stage-flag filtering)."""
+    from coma_tpu.cli import generate_3d_hoi_samples as orch
+
+    orch.main([
+        "--skip", "segment", "predict",
+        "--asset_obj_pth", scene["obj_pth"],        # init + metrics flag
+        "--no_collision", "--minimum_inliers", "1",  # optimize-only flags
+        "--voxel_resolution", "24",                  # metrics-only flag
+    ])
+    samples = sorted(glob.glob("results/generation/human_sample/*/*/*/*/*/*/*.pickle"))
+    assert len(samples) == 2
+    with open(samples[0], "rb") as fh:
+        s = pickle.load(fh)
+    assert not isinstance(s, str) and s["IoU"] > 0.8
