@@ -214,3 +214,44 @@ def test_generate_3d_orchestrator_mixed_flags(scene):
     with open(samples[0], "rb") as fh:
         s = pickle.load(fh)
     assert not isinstance(s, str) and s["IoU"] > 0.8
+
+
+def test_learn_coma_orchestrator(scene):
+    """learn_coma end to end through the orchestrator: filter ->
+    downsample_human -> downsample_objects -> extract, one mixed flag list,
+    with a tiny hyperparams key injected into the qual registry."""
+    from coma_tpu.cli import generate_3d_hoi_samples as orch3d
+    from coma_tpu.cli import learn_coma as orch
+    from coma_tpu.config.hyperparams import QUAL_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT
+
+    # self-sufficient when run in isolation: produce the lifting outputs
+    orch3d.main([
+        "--skip", "segment", "predict",
+        "--asset_obj_pth", scene["obj_pth"],
+        "--no_collision", "--minimum_inliers", "1", "--voxel_resolution", "24",
+    ])
+
+    key = "qual:_test_tiny_contact"
+    QUAL_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT[key] = dict(
+        QUAL_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT["qual:001"],
+        affordance_kind="human_contact",
+        human_res="FULL", human_use_downsample_pcd_raw=False,
+        object_res="16", object_use_downsample_pcd_raw=True,
+        normal_res=16, spatial_res=0,
+        standardize_human_scale=False,
+    )
+    star_pth = os.path.join(scene["tmp"], "smplx_star.obj")
+    save_obj(star_pth, CUBE_V, CUBE_F)
+    try:
+        orch.main([
+            "--hyperparams_keys", key,
+            "--object_resolutions", "16",
+            "--obj_pth", scene["obj_pth"],           # downsample_objects flags
+            "--supercategory", SC, "--category", CAT, "--asset_id", ASSET,
+            "--smplx_star_pth", star_pth,            # downsample_human flags
+            "--num_human_downsample_points_list", "8",
+        ])
+    finally:
+        del QUAL_AFFORDANCE_EXTRACTION_HYPERPARAMS_DICT[key]
+    out = glob.glob("results/coma/extracted_coma/*/*/*/*.pickle")
+    assert out, "extracted ComA pickle missing"
