@@ -134,3 +134,19 @@ def frames_to_video(frames_dir: str, out_path: str, fps: int = 10) -> bool:
         return True
     except (FileNotFoundError, subprocess.CalledProcessError):
         return False
+
+
+def write_message_on_img(image: "np.ndarray", message: str) -> "np.ndarray":
+    """Stamp a sentinel/debug message onto an image (RGB uint8).
+
+    Reference parity: ``utils/misc.py:write_message_on_img:88-92`` (used by
+    ``predict_human.py`` to annotate failure images, e.g. "NO HUMANS").
+    PIL replaces cv2.putText; same bottom-left-ish red stamp.
+    """
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(np.asarray(image))
+    draw = ImageDraw.Draw(img)
+    draw.text((max(0, img.height - 150), img.height - 20), message,
+              fill=(255, 0, 0))
+    return np.asarray(img)

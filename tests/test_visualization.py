@@ -55,3 +55,12 @@ def test_visualize_cli_occupancy(tmp_path, monkeypatch, rng):
     np.save("occ.npy", info)
     cli_viz.main(["occupancy", "--occupancy_npy", "occ.npy", "--out", "occ.png"])
     assert os.path.exists("occ.png")
+
+
+def test_write_message_on_img():
+    from coma_tpu.visualization.viz import write_message_on_img
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = write_message_on_img(img, "NO HUMANS")
+    assert out.shape == img.shape
+    assert (out[..., 0] > 0).any() and not (out[..., 1] > 0).any()  # red stamp
