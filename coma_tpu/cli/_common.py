@@ -67,8 +67,6 @@ def filter_known_args(parser, argv):
     reference's bash scripts, where each python stage only reads its own
     flags. Each stage main re-parses, so unknown flags must be dropped here.
     """
-    import argparse as _ap
-
     by_option = {}
     for action in parser._actions:
         for opt in action.option_strings:

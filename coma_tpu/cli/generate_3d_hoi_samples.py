@@ -8,7 +8,6 @@ compute_metrics.
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def main(argv=None) -> None:

@@ -15,7 +15,6 @@ identical; thousands of samples then batch in one vmapped jit.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 import optax
 
 from coma_tpu.lifting.cameras import OrthoCamera, project_points
-from coma_tpu.models.keypoints import smpl_to_openpose
 
 W_MULTIVIEW = 1e-3   # optimize_depth.py:804 (w_multiview default)
 W_COLLISION = 0.4    # optimize_depth.py:805

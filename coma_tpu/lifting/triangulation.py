@@ -16,7 +16,7 @@ single (C, C) masked matrix.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import jax

@@ -18,9 +18,8 @@ roi_align(aligned=False) differs at most by half-pixel sampling phase).
 """
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from coma_tpu.geometry.transforms import rot6d_to_rotmat
-from coma_tpu.models.resnet import ResNet, resnet18, resnet50
+from coma_tpu.models.resnet import ResNet
 from coma_tpu.models.vposer import matrot_to_aa
 
 # --- config (reference: main/config.py) ---

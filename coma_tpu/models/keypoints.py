@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 # SMPLX -> OpenPose COCO-25 (utils/smpl.py:107-110)
 SMPLX_TO_OPENPOSE_BODY = np.array(

@@ -6,7 +6,7 @@ ResNet-18/50 without the classification head; output stride 32, feature dims
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

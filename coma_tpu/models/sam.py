@@ -25,7 +25,7 @@ official ``sam_vit_b_01ec64.pth`` via
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

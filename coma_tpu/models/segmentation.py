@@ -18,7 +18,7 @@ predictor consumes the merged mask exactly as the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 import jax

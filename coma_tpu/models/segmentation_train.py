@@ -15,7 +15,7 @@ multi-chip pod via the same `Mesh` used everywhere else in the framework.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ maps a user-provided snapshot into the Flax params.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

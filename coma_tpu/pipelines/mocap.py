@@ -11,7 +11,7 @@ Downstream geometry (depth init/opt) depends on these conventions exactly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import numpy as np
 import jax

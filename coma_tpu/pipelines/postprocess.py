@@ -12,7 +12,7 @@ Works on plain arrays instead of detectron2 Instances.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -16,10 +16,9 @@ paths.
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax.numpy as jnp

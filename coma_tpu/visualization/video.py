@@ -11,7 +11,7 @@ Usage::
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import numpy as np
 
