@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import io as _io
 import pickle
+import warnings
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -29,6 +30,14 @@ from coma_tpu.affordance.state import (
     init_occupancy_state,
     make_voxel_grid,
 )
+
+
+class RefPickleStubWarning(UserWarning):
+    """A reference pickle referenced a symbol we could not import.
+
+    The payload under that symbol is replaced by a :class:`_Stub`; loading
+    proceeds, but the stubbed entry carries no data. Warn loudly so a pickle
+    whose *arrays* fail to resolve is never silently swallowed."""
 
 
 class _Stub:
@@ -56,6 +65,15 @@ class RefCompatUnpickler(pickle.Unpickler):
         try:
             return super().find_class(module, name)
         except (ImportError, AttributeError):
+            warnings.warn(
+                f"reference pickle references unimportable symbol "
+                f"{module}.{name}; substituting a stub (its payload is "
+                f"dropped). Expected for 'utils.coma.negative_exp' / "
+                f"'easydict.EasyDict'-era entries; anything else may mean "
+                f"lost data.",
+                RefPickleStubWarning,
+                stacklevel=2,
+            )
             return _Stub
 
 
