@@ -3,7 +3,8 @@
 
 Per sample: mine RANSAC inlier views via vmapped DLT triangulation, then
 optimize the displacement scalar (Adam, 200 steps) against the multiview
-joint loss (+ optional capsule collision). Samples batch into one vmapped
+joint loss + the collision term (neural COAP when converted weights are
+present, weight-free capsules otherwise). Samples batch into one vmapped
 optimization; sentinels ("NOT ALLOWED VIEWPOINT PROMPTS", "TOO LITTLE
 INLIERS") propagate like the reference.
 """
@@ -45,9 +46,80 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr", type=float, default=0.01)
     parser.add_argument("--w_collision", type=float, default=0.4)
     parser.add_argument("--w_multiview", type=float, default=1e-3)
-    parser.add_argument("--no_collision", action="store_true")
+    parser.add_argument("--no_collision", action="store_true",
+                        help="alias for --collision_backend none")
     parser.add_argument("--max_inliers", type=int, default=16, help="padding cap")
+    # Collision backend (reference default: neural COAP, optimize_depth.py:752-762).
+    parser.add_argument("--collision_backend",
+                        choices=["auto", "coap", "capsule", "none"], default="auto",
+                        help="auto = neural COAP when --coap_ckpt and "
+                             "--smplx_model_path resolve, else capsule fallback")
+    parser.add_argument("--coap_ckpt", type=str, default="pre-trained/coap/coap.npz",
+                        help="converted COAP params (cli.convert_weights --kind coap)")
+    parser.add_argument("--smplx_model_path", type=str, default="",
+                        help="SMPLX_NEUTRAL.npz (needed to pose COAP's bone frames)")
+    parser.add_argument("--asset_obj_pth", type=str,
+                        help="override asset .obj path (collision scene points)")
+    parser.add_argument("--max_scene_points", type=int, default=2048)
+    parser.add_argument("--scene_bbox_margin", type=float, default=0.5,
+                        help="prefilter margin (m) around the human bbox "
+                             "(reference prefilters by the exact bbox, "
+                             "optimize_depth.py:105-112; the margin keeps "
+                             "points reachable while the depth moves)")
     return parser
+
+
+def _load_scene_verts(args, sc_str, cat_str, asset_id, cam_data):
+    """Asset vertices in this view's world frame (collision scene points),
+    or None when the asset .obj cannot be resolved (collision then no-ops
+    for those samples rather than failing the stage)."""
+    from coma_tpu.config.assets import CATEGORY2DATASET_TYPE, resolve_asset_obj_path
+    from coma_tpu.geometry.mesh import load_obj
+    from coma_tpu.pipelines.asset_world import asset_to_world
+
+    supercategory, category = unflatten(sc_str), unflatten(cat_str)
+    dataset_type = CATEGORY2DATASET_TYPE.get((supercategory, category))
+    try:
+        obj_pth = args.asset_obj_pth or resolve_asset_obj_path(
+            dataset_type, supercategory, category, asset_id
+        )
+        mesh = load_obj(obj_pth)
+    except (KeyError, TypeError, FileNotFoundError, OSError) as exc:
+        print(f"[optimize_depth] WARN: no asset mesh for "
+              f"{supercategory}/{category}/{asset_id} ({exc}); "
+              f"collision scene empty for its samples")
+        return None
+    verts, _ = asset_to_world(mesh.vertices, cam_data, dataset_type or "")
+    return np.asarray(verts, np.float32)
+
+
+def _coap_frames_for_sample(smplx_model, smplx_data, verts_world):
+    """Pose the SMPL-X model from the regressed params and rigid-align
+    (Kabsch) the LBS vertices onto the lifted world vertices, folding the
+    alignment into the bone transforms so COAP's frames live in world space.
+    Returns dict(rest_joints (J,3), rel_transforms (J,4,4)) or None on a
+    vertex-count mismatch (e.g. test-sized synthetic SMPL-X models)."""
+    import jax.numpy as jnp
+
+    from coma_tpu.geometry.transforms import rigid_align_np
+    from coma_tpu.models.smplx import smplx_forward
+
+    sd = {k: jnp.asarray(v, jnp.float32) for k, v in smplx_data.items()
+          if k != "transl"}
+    verts_lbs, _, rel_tf, rest_j = smplx_forward(
+        smplx_model, return_rel_transforms=True, **sd
+    )
+    verts_lbs = np.asarray(verts_lbs[0])
+    if verts_lbs.shape[0] != verts_world.shape[0]:
+        return None
+    R, t = rigid_align_np(verts_lbs, verts_world)
+    A = np.eye(4, dtype=np.float32)
+    A[:3, :3] = R
+    A[:3, 3] = t
+    return dict(
+        rest_joints=np.asarray(rest_j[0], np.float32),
+        rel_transforms=(A[None] @ np.asarray(rel_tf[0], np.float32)),
+    )
 
 
 def load_camera(camera_dir, sc_str, cat_str, asset_id, view_id, cache):
@@ -72,6 +144,45 @@ def main(argv=None) -> None:
     prompts = lower_all(args.prompts)
     tri_idx = smpl_to_openpose(use_hands=True)   # 67 joints for triangulation
     body_idx = smpl_to_openpose(use_hands=False)  # 25 joints for the loss
+
+    # --- collision backend (reference default: neural COAP w=0.4) ---------
+    backend = "none" if args.no_collision else args.collision_backend
+    coap = None  # (occ_model, variables, partition, smplx_model) when neural
+    if backend in ("auto", "coap"):
+        have_ckpt = bool(args.coap_ckpt) and os.path.exists(args.coap_ckpt)
+        have_smplx = bool(args.smplx_model_path) and os.path.exists(args.smplx_model_path)
+        if have_ckpt and have_smplx:
+            backend = "coap"
+        elif backend == "coap":
+            raise SystemExit(
+                "[optimize_depth] --collision_backend coap needs both "
+                f"--coap_ckpt (got {args.coap_ckpt!r}) and --smplx_model_path "
+                f"(got {args.smplx_model_path!r}) to exist"
+            )
+        else:
+            backend = "capsule"
+            print(
+                "[optimize_depth] neural COAP unavailable "
+                f"(ckpt={'ok' if have_ckpt else 'missing'}, "
+                f"smplx={'ok' if have_smplx else 'missing'}); using the "
+                "weight-free capsule backend. Convert the published COAP "
+                "checkpoint (cli.convert_weights --kind coap) and pass "
+                "--coap_ckpt/--smplx_model_path for the reference loss stack."
+            )
+    if backend == "coap":
+        from coma_tpu.models.coap import COAPConfig, COAPOccupancy
+        from coma_tpu.models.coap_partition import build_partition
+        from coma_tpu.models.smplx import SMPLXModel
+        from coma_tpu.utils.checkpoint import load_params
+
+        smplx_model = SMPLXModel.from_npz(args.smplx_model_path)
+        partition = build_partition(
+            np.asarray(smplx_model.lbs_weights), tuple(np.asarray(smplx_model.parents))
+        )
+        variables = load_params(args.coap_ckpt)
+        coap = (COAPOccupancy(COAPConfig(num_parts=partition.num_parts)),
+                variables, partition, smplx_model)
+    print(f"[optimize_depth] collision backend: {backend}")
 
     init_pths = sorted(_glob.glob(f"{args.human_initial_dir}/*/*/*/*/*/*/*.pickle"))
     work = []
@@ -194,6 +305,49 @@ def main(argv=None) -> None:
         ).reshape(-1)[:3]
         joints_world = joints_world + init_disp[None]
 
+        # collision scene points: asset vertices in this view's world frame,
+        # prefiltered by the human bbox (reference: sample_scene_points,
+        # optimize_depth.py:105-124 — asset verts, bbox gate)
+        scene_pts = scene_valid = None
+        if backend != "none":
+            from coma_tpu.models.coap import pad_scene_points
+
+            key = ("scene", sc_str, cat_str, asset_id, view_id)
+            if key not in cam_cache:
+                cam_cache[key] = _load_scene_verts(
+                    args, sc_str, cat_str, asset_id, cam_data
+                )
+            scene = cam_cache[key]
+            verts0 = np.asarray(initial["verts"], np.float32)
+            if scene is not None and len(scene):
+                lo = verts0.min(0) - args.scene_bbox_margin
+                hi = verts0.max(0) + args.scene_bbox_margin
+                scene = scene[np.all((scene >= lo) & (scene <= hi), axis=1)]
+            scene_pts, scene_valid = pad_scene_points(
+                scene if scene is not None else np.zeros((0, 3), np.float32),
+                args.max_scene_points,
+            )
+
+        # neural-COAP bone frames: pose the SMPL-X model from the regressed
+        # params, then rigid-align (Kabsch) the LBS verts onto the lifted
+        # world verts and fold that alignment into the bone transforms
+        coap_aux = None
+        if backend == "coap":
+            coap_aux = _coap_frames_for_sample(
+                coap[3], pred["smplx_data"], np.asarray(initial["verts"], np.float32)
+            )
+            if coap_aux is None:
+                print(f"[optimize_depth] WARN: vertex count mismatch vs the "
+                      f"SMPL-X model for {init_pth}; collision off for this sample")
+                scene_valid = np.zeros_like(scene_valid)
+                J = coap[3].num_joints
+                coap_aux = dict(
+                    rest_joints=np.zeros((J, 3), np.float32),
+                    rel_transforms=np.broadcast_to(
+                        np.eye(4, dtype=np.float32), (J, 4, 4)
+                    ).copy(),
+                )
+
         # body-joint subset for the multiview loss (the inlier views' 2-D
         # joints are stored in triangulation (67-joint) order; map to the
         # 25-joint body order)
@@ -204,6 +358,9 @@ def main(argv=None) -> None:
                 faces=initial["faces"],
                 verts=np.asarray(initial["verts"], np.float32),
                 joints_world=joints_world[body_idx],
+                scene_pts=scene_pts,
+                scene_valid=scene_valid,
+                coap_aux=coap_aux,
                 cam_data=cam_data,
                 inliers=[
                     dict(R=np.asarray(c.R), t=np.asarray(c.t),
@@ -233,6 +390,42 @@ def main(argv=None) -> None:
             R, t, j2d, valid = pad_inliers(b["inliers"], args.max_inliers, resolution)
             Rs.append(R); ts.append(t); j2ds.append(j2d); valids.append(valid)
 
+        collision_fn = collision_aux = None
+        if backend != "none":
+            scene_aux = dict(
+                base_centroid=jnp.asarray(
+                    np.stack(verts_w).mean(axis=1), jnp.float32
+                ),
+                scene_points=jnp.asarray(
+                    np.stack([b["scene_pts"] for b in batch]), jnp.float32
+                ),
+                scene_valid=jnp.asarray(
+                    np.stack([b["scene_valid"] for b in batch]), jnp.float32
+                ),
+            )
+        if backend == "capsule":
+            from coma_tpu.models.coap import make_capsule_collision_aux_fn
+
+            collision_fn = make_capsule_collision_aux_fn()
+            collision_aux = dict(
+                joints=jnp.asarray(np.stack(joints_w), jnp.float32), **scene_aux
+            )
+        elif backend == "coap":
+            from coma_tpu.models.coap import make_coap_collision_aux_fn
+
+            collision_fn = make_coap_collision_aux_fn(coap[0], coap[1], coap[2])
+            collision_aux = dict(
+                rest_joints=jnp.asarray(
+                    np.stack([b["coap_aux"]["rest_joints"] for b in batch]), jnp.float32
+                ),
+                rel_transforms=jnp.asarray(
+                    np.stack([b["coap_aux"]["rel_transforms"] for b in batch]),
+                    jnp.float32,
+                ),
+                translation=jnp.zeros((len(batch), 3), jnp.float32),
+                **scene_aux,
+            )
+
         result = optimize_depth_batch(
             joints_world=jnp.asarray(np.stack(joints_w), jnp.float32),
             verts_world=jnp.asarray(np.stack(verts_w), jnp.float32),
@@ -243,10 +436,12 @@ def main(argv=None) -> None:
             inlier_valid=jnp.asarray(np.stack(valids)),
             scale=scale,
             resolution=resolution,
+            collision_fn=collision_fn,
+            collision_aux=collision_aux,
             num_epochs=args.num_epoch,
             lr=args.lr,
             w_multiview=args.w_multiview,
-            w_collision=0.0 if args.no_collision else args.w_collision,
+            w_collision=args.w_collision,
         )
         for i, b in enumerate(batch):
             verts = np.asarray(result.verts[i])[: len(b["verts"])]

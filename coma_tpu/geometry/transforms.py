@@ -99,3 +99,22 @@ def rot6d_to_rotmat(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     b2 = normalize_vectors(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1, eps)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def rigid_align_np(src, dst):
+    """Least-squares rigid transform (Kabsch): R, t with dst ≈ src @ R.T + t.
+
+    Host-side numpy (used by the optimize_depth CLI to align regressed LBS
+    vertices onto pixel-lifted world vertices before posing COAP's bone
+    frames; correspondence is by index)."""
+    import numpy as np
+
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    sc, dc = src.mean(axis=0), dst.mean(axis=0)
+    H = (src - sc).T @ (dst - dc)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    t = dc - R @ sc
+    return R.astype(np.float32), t.astype(np.float32)

@@ -68,7 +68,8 @@ def optimize_depth_batch(
     inlier_valid: jax.Array,       # (B, K)
     scale: float,
     resolution: Tuple[int, int],
-    collision_fn: Optional[Callable] = None,  # (verts (V,3)) -> scalar loss
+    collision_fn: Optional[Callable] = None,  # (verts (V,3)[, aux]) -> scalar loss
+    collision_aux=None,  # per-sample pytree, leading axis B (vmapped with the batch)
     num_epochs: int = 200,
     lr: float = 0.01,
     w_multiview: float = W_MULTIVIEW,
@@ -78,36 +79,45 @@ def optimize_depth_batch(
 
     The reference runs 200 sequential Adam steps per sample on one GPU
     process; here B samples optimize simultaneously, each with its padded
-    inlier set.
+    inlier set. ``collision_fn`` is called as ``fn(verts)`` when
+    ``collision_aux`` is None, else ``fn(verts, aux_i)`` with the sample's
+    slice of the aux pytree (how the neural-COAP/capsule backends carry
+    per-sample bone transforms and scene points through the vmap — see
+    :func:`coma_tpu.models.coap.make_coap_collision_aux_fn`).
     """
-    def loss_fn(d, jw, vw, front, R, t, j2d, valid):
+    def loss_fn(d, jw, vw, front, R, t, j2d, valid, aux):
         joints = jw + d * front[None, :]
         loss = w_multiview * multiview_joint_loss(
             joints, R, t, j2d, valid, scale, resolution
         )
         if collision_fn is not None:
-            loss = loss + w_collision * collision_fn(vw + d * front[None, :])
+            moved = vw + d * front[None, :]
+            c = collision_fn(moved) if collision_aux is None else collision_fn(moved, aux)
+            loss = loss + w_collision * c
         return loss
 
     optimizer = optax.adam(lr)
 
-    def run_one(jw, vw, front, R, t, j2d, valid):
+    def run_one(jw, vw, front, R, t, j2d, valid, aux):
         d0 = jnp.zeros(())
         state0 = optimizer.init(d0)
 
         def step(carry, _):
             d, opt_state = carry
-            loss, grad = jax.value_and_grad(loss_fn)(d, jw, vw, front, R, t, j2d, valid)
+            loss, grad = jax.value_and_grad(loss_fn)(
+                d, jw, vw, front, R, t, j2d, valid, aux
+            )
             updates, opt_state = optimizer.update(grad, opt_state, d)
             return (d + updates, opt_state), loss
 
         (d, _), losses = jax.lax.scan(step, (d0, state0), None, length=num_epochs)
-        final_loss = loss_fn(d, jw, vw, front, R, t, j2d, valid)
+        final_loss = loss_fn(d, jw, vw, front, R, t, j2d, valid, aux)
         return d, vw + d * front[None, :], final_loss
 
-    d, verts, losses = jax.vmap(run_one)(
+    aux_axis = None if collision_aux is None else 0
+    d, verts, losses = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, 0, 0, aux_axis))(
         joints_world, verts_world, cam_front, inlier_R, inlier_t,
-        inlier_joints_2d, inlier_valid,
+        inlier_joints_2d, inlier_valid, collision_aux,
     )
     return DepthOptResult(displacement=d, verts=verts, losses=losses)
 

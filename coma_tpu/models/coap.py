@@ -188,7 +188,10 @@ def capsule_occupancy(
         denom = jnp.maximum(jnp.sum(ab * ab), 1e-9)
         t = jnp.clip(((points - a) @ ab) / denom, 0.0, 1.0)
         closest = a + t[:, None] * ab
-        return jnp.linalg.norm(points - closest, axis=-1)
+        diff = points - closest
+        # safe norm: d(||x||)/dx is NaN at 0, and a query point exactly on
+        # the bone axis is a legal input (it is maximally inside the capsule)
+        return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
 
     dists = jnp.stack([bone_dist(j) for j in range(len(parents))])  # (J, Q)
     occ = jax.nn.sigmoid(sharpness * (radii[:, None] - dists))
@@ -256,6 +259,86 @@ def coap_occupancy_world(
         bbox_padding=1.125,  # coap.py:603 (bbox_padding)
     )
     return occ_model.apply(variables, local_parts, query_local, inside)
+
+
+# OpenPose BODY_25 skeleton (the 25-joint body subset optimize_depth works
+# in, models/keypoints.py:SMPLX_TO_OPENPOSE_BODY): parent index per joint,
+# -1 = root (MidHip). Used by the weight-free capsule fallback.
+BODY25_PARENTS = (
+    1, 8, 1, 2, 3, 1, 5, 6, -1, 8, 9, 10, 8, 12, 13,
+    0, 0, 15, 16, 14, 19, 14, 11, 22, 11,
+)
+# Per-bone capsule radii (meters): torso/head thicker than limbs/feet.
+BODY25_RADII = (
+    0.08, 0.10, 0.09, 0.05, 0.04, 0.09, 0.05, 0.04, 0.12, 0.10, 0.07, 0.05,
+    0.10, 0.07, 0.05, 0.07, 0.07, 0.06, 0.06, 0.03, 0.03, 0.04, 0.03, 0.03,
+    0.04,
+)
+
+
+def pad_scene_points(
+    points: np.ndarray, max_points: int, dtype=np.float32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/trim (N, 3) scene points to (max_points, 3) + (max_points,) valid
+    mask. Pad slots sit at 1e6 so they fall outside every bbox gate; the
+    valid mask zeroes any residual occupancy before the collision sum."""
+    pts = np.full((max_points, 3), 1e6, dtype=dtype)
+    valid = np.zeros((max_points,), dtype=dtype)
+    n = min(len(points), max_points)
+    if n:
+        pts[:n] = points[:n]
+        valid[:n] = 1.0
+    return pts, valid
+
+
+def make_capsule_collision_aux_fn(
+    parents: Tuple[int, ...] = BODY25_PARENTS,
+    radii=None,
+    sharpness: float = 30.0,
+    level_set: float = 0.5,
+):
+    """Weight-free collision term for the *batched* depth optimizer.
+
+    The returned ``fn(verts_world, aux)`` is vmappable over samples: all
+    per-sample state rides in ``aux`` = dict(joints (J,3) at zero
+    displacement, base_centroid (3,), scene_points (Q,3), scene_valid (Q,)).
+    The rigid displacement is recovered as the centroid shift (the depth
+    optimizer only translates the body along the camera ray).
+    """
+    radii_arr = jnp.asarray(
+        radii if radii is not None else BODY25_RADII[: len(parents)], jnp.float32
+    )
+
+    def fn(verts_world, aux):
+        d = jnp.mean(verts_world, axis=0) - aux["base_centroid"]
+        occ = capsule_occupancy(
+            aux["scene_points"], aux["joints"] + d[None], parents, radii_arr,
+            sharpness,
+        )
+        return collision_loss(occ * aux["scene_valid"], level_set)
+
+    return fn
+
+
+def make_coap_collision_aux_fn(occ_model, variables, partition, level_set: float = 0.5):
+    """Neural-COAP collision term for the *batched* depth optimizer
+    (reference default: ``optimize_depth.py:752-762``, w=0.4).
+
+    Per-sample aux = dict(rest_joints (J,3), rel_transforms (J,4,4) from the
+    LBS, translation (3,) rigid offset from LBS space to world at zero
+    displacement, base_centroid (3,), scene_points (Q,3), scene_valid (Q,)).
+    """
+
+    def fn(verts_world, aux):
+        d = jnp.mean(verts_world, axis=0) - aux["base_centroid"]
+        occ = coap_occupancy_world(
+            occ_model, variables, partition, aux["rest_joints"],
+            aux["rel_transforms"], aux["translation"] + d, verts_world,
+            aux["scene_points"],
+        )
+        return collision_loss(occ * aux["scene_valid"], level_set)
+
+    return fn
 
 
 def make_coap_collision_fn(

@@ -190,8 +190,11 @@ def lbs(
     J_regressor: jax.Array,  # (J, V)
     parents: Tuple[int, ...],
     lbs_weights: jax.Array,  # (V, J)
-) -> Tuple[jax.Array, jax.Array]:
-    """Linear blend skinning. Returns (verts (B,V,3), joints (B,J,3)).
+    return_rel_transforms: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Linear blend skinning. Returns (verts (B,V,3), joints (B,J,3)) —
+    plus (rel_transforms (B,J,4,4), rest_joints (B,J,3)) when
+    ``return_rel_transforms`` (the inputs COAP's bone-local frames need).
 
     Reference: ``lbs.py:lbs:134-227`` (pose2rot=True path).
     """
@@ -214,6 +217,8 @@ def lbs(
         [v_posed, jnp.ones((B, v_posed.shape[1], 1), v_posed.dtype)], axis=2
     )
     verts = jnp.einsum("bvkl,bvl->bvk", T, v_homo)[:, :, :3]
+    if return_rel_transforms:
+        return verts, posed_joints, rel_tf, joints
     return verts, posed_joints
 
 
@@ -231,12 +236,17 @@ def smplx_forward(
     transl: Optional[jax.Array] = None,           # (B, 3)
     use_pca: bool = False,
     batch_size: Optional[int] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    return_rel_transforms: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Full SMPL-X forward: assemble pose, add pose_mean, run LBS.
 
     Returns (vertices (B,V,3), joints (B,J,3)). Reference:
     ``body_models.py:SMPLX.forward:928-1069`` (landmark/extra-joint selection
-    lives in :mod:`coma_tpu.models.keypoints`).
+    lives in :mod:`coma_tpu.models.keypoints`). With
+    ``return_rel_transforms``, additionally returns
+    (rel_transforms (B,J,4,4), rest_joints (B,J,3)) — the COAP bone-frame
+    inputs (``imports/coap/coap.py:compute_abs_transformations:562``); note
+    ``transl`` is NOT folded into them (pass it as the rigid translation).
     """
     dtype = model.v_template.dtype
     B = batch_size or next(
@@ -276,7 +286,7 @@ def smplx_forward(
     shape_components = jnp.concatenate([betas, expression], axis=-1)
     shapedirs = jnp.concatenate([model.shapedirs, model.expr_dirs], axis=-1)
 
-    verts, joints = lbs(
+    out = lbs(
         shape_components,
         full_pose,
         model.v_template,
@@ -285,10 +295,14 @@ def smplx_forward(
         model.J_regressor,
         model.parents,
         model.lbs_weights,
+        return_rel_transforms=return_rel_transforms,
     )
+    verts, joints = out[0], out[1]
     if transl is not None:
         verts = verts + transl[:, None, :]
         joints = joints + transl[:, None, :]
+    if return_rel_transforms:
+        return verts, joints, out[2], out[3]
     return verts, joints
 
 

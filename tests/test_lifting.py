@@ -235,3 +235,106 @@ def test_intersection_ratio_disjoint():
     faces = jnp.asarray(CUBE_F)
     ratio = float(intersection_volume_ratio(a_v, faces, b_v, faces, resolution=16))
     assert ratio == 0.0
+
+
+def test_capsule_collision_aux_pushes_human_out(rng):
+    """Batched collision backend: with scene points inside the body and no
+    joint evidence, the optimizer should move the human along the ray until
+    the capsule occupancy clears (reference loss stack:
+    ``optimize_depth.py:752-762``, collision w=0.4)."""
+    from coma_tpu.models.coap import (
+        BODY25_PARENTS,
+        make_capsule_collision_aux_fn,
+        pad_scene_points,
+    )
+
+    J = 25
+    joints = jnp.asarray(rng.normal(size=(J, 3)) * 0.15, jnp.float32)
+    verts = joints  # stand-in body vertices
+    front = jnp.asarray([0.0, 0.0, 1.0])
+    scene = np.asarray(joints)[:5]  # points buried inside the body
+    pts, valid = pad_scene_points(scene, 16)
+
+    fn = make_capsule_collision_aux_fn(BODY25_PARENTS)
+    aux = dict(
+        joints=joints[None],
+        base_centroid=jnp.mean(verts, axis=0)[None],
+        scene_points=jnp.asarray(pts)[None],
+        scene_valid=jnp.asarray(valid)[None],
+    )
+    # no inlier views: multiview term is masked out, collision drives d
+    R = np.tile(np.eye(3, dtype=np.float32), (1, 2, 1, 1))
+    t = np.zeros((1, 2, 3), np.float32)
+    j2d = np.zeros((1, 2, 25, 2), np.float32)
+    inval = np.zeros((1, 2), np.float32)
+    res = optimize_depth_batch(
+        joints_world=joints[None],
+        verts_world=verts[None],
+        cam_front=front[None],
+        inlier_R=jnp.asarray(R[0])[None],
+        inlier_t=jnp.asarray(t[0])[None],
+        inlier_joints_2d=jnp.asarray(j2d[0])[None],
+        inlier_valid=jnp.asarray(inval[0])[None],
+        scale=1.0,
+        resolution=(64, 64),
+        collision_fn=fn,
+        collision_aux=aux,
+        num_epochs=150,
+        lr=0.05,
+    )
+    fn0 = fn(verts, {k: v[0] for k, v in aux.items()})
+    fn1 = fn(res.verts[0], {k: v[0] for k, v in aux.items()})
+    assert float(fn1) < float(fn0)  # penetration strictly reduced
+    assert abs(float(res.displacement[0])) > 0.05  # actually moved
+    # padded scene slots contribute nothing
+    aux_empty = dict(aux)
+    aux_empty["scene_valid"] = jnp.zeros_like(aux["scene_valid"])
+    assert float(fn(verts, {k: v[0] for k, v in aux_empty.items()})) == 0.0
+
+
+def test_coap_collision_aux_batched(rng):
+    """Neural-COAP aux path: finite loss, nonzero grad, vmaps over B=2."""
+    import jax
+
+    from coma_tpu.models.coap import (
+        COAPConfig,
+        COAPOccupancy,
+        make_coap_collision_aux_fn,
+        pad_scene_points,
+    )
+    from coma_tpu.models.coap_partition import build_partition
+    from coma_tpu.models.smplx import random_model, smplx_forward
+
+    sm = random_model(num_verts=64, num_betas=4, num_expr=2)
+    part = build_partition(np.asarray(sm.lbs_weights), tuple(np.asarray(sm.parents)))
+    K = part.num_parts
+    cfg = COAPConfig(num_parts=K, code_dim=8, hidden_dim=8,
+                     query_dims=(32, 32), query_skip=(1,), query_out=8,
+                     decoder_dims=(16, 16), decoder_skip=())
+    model = COAPOccupancy(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((K, part.max_part_size, 3)),
+        jnp.zeros((K, 4, 3)),
+        jnp.ones((K, 4)),
+    )
+    verts, joints, rel_tf, rest_j = smplx_forward(
+        sm, betas=jnp.zeros((2, 4)), return_rel_transforms=True
+    )
+    pts, valid = pad_scene_points(np.asarray(verts[0])[:6], 8)
+
+    fn = make_coap_collision_aux_fn(model, variables, part)
+    aux = dict(
+        rest_joints=rest_j,
+        rel_transforms=rel_tf,
+        translation=jnp.zeros((2, 3)),
+        base_centroid=jnp.mean(verts, axis=1),
+        scene_points=jnp.asarray(np.stack([pts, pts])),
+        scene_valid=jnp.asarray(np.stack([valid, valid])),
+    )
+    losses = jax.vmap(fn)(verts, aux)
+    assert losses.shape == (2,) and np.isfinite(np.asarray(losses)).all()
+    g = jax.grad(lambda d: fn(verts[0] + d, {k: v[0] for k, v in aux.items()}))(
+        jnp.zeros(3)
+    )
+    assert np.isfinite(np.asarray(g)).all()
