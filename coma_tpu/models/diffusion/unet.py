@@ -102,7 +102,11 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * 8, dtype=self.config.dtype, name="proj_in")(x)
         a, b = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.config.dtype, name="proj_out")(a * nn.gelu(b))
+        # exact (erf) GELU: diffusers' GEGLU uses F.gelu's default, not the
+        # tanh approximation (flax's default) — ~1e-3 drift at SD widths
+        return nn.Dense(self.dim, dtype=self.config.dtype, name="proj_out")(
+            a * nn.gelu(b, approximate=False)
+        )
 
 
 class TransformerBlock(nn.Module):
