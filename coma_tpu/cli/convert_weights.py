@@ -22,7 +22,8 @@ import argparse
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--kind", required=True,
-                        choices=["hand4whole", "coap", "vposer", "sam", "sd"])
+                        choices=["hand4whole", "coap", "vposer", "sam", "sd",
+                                 "pointrend"])
     parser.add_argument("--src", required=True,
                         help="torch checkpoint file (or diffusers dir for sd)")
     parser.add_argument("--out", required=True, help="output store path (.npz)")
@@ -81,6 +82,19 @@ def main(argv=None) -> None:
         from coma_tpu.models.torch_weights_sam import convert_sam
 
         tree = convert_sam(_torch_load(args.src, args.state_dict_key))
+    elif args.kind == "pointrend":
+        # accepts the published d2 .pkl (numpy state dict under 'model') or a
+        # torch .pth of the same layout
+        from coma_tpu.models.torch_weights_pointrend import (
+            convert_pointrend,
+            load_d2_pickle,
+        )
+
+        if args.src.endswith(".pkl"):
+            sd = load_d2_pickle(args.src)
+        else:
+            sd = _torch_load(args.src, args.state_dict_key)
+        tree = convert_pointrend(sd)
     else:  # sd
         from coma_tpu.models.diffusion.weights import load_sd_params
 

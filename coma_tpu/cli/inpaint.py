@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--weights_dir", type=str, help="converted Flax SD params")
     parser.add_argument("--sam_weights", type=str,
                         help="sam_vit_b_01ec64.pth for the SAM predictor modes")
+    parser.add_argument("--person_segmenter", type=str, default="unet",
+                        choices=["unet", "pointrend"],
+                        help="in-loop person-mask backend; 'pointrend' runs the "
+                             "converted detectron2 detector inside the scan "
+                             "(the reference's PointRendPredictor)")
+    parser.add_argument("--pointrend_weights", type=str,
+                        help="converted PointRend params (.npz) for "
+                             "--person_segmenter pointrend")
     parser.add_argument("--random_weights", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs at 64x64 (hermetic smoke runs)")
@@ -168,9 +176,36 @@ def build_pipeline(args):
     # params-threading style (generate_p): weights enter jit as arguments,
     # not multi-GB baked constants — far faster compiles
     segment_fn = None
-    person_fn = lambda prm, imgs: (
-        jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
-    ).astype(jnp.float32)
+    if args.person_segmenter == "pointrend":
+        from coma_tpu.models.pointrend import (
+            PointRendConfig,
+            PointRendModel,
+            make_pointrend_segment_fn,
+        )
+        from coma_tpu.utils.checkpoint import load_params as _load_np
+
+        # fewer padded detections in-loop: the provoke step only needs the
+        # merged person mask, and 20 slots keep the in-jit paste cheap
+        if args.tiny:
+            pr_cfg = PointRendConfig(max_detections=4, test_size=64,
+                                     pre_nms_topk=64, post_nms_topk=32,
+                                     box_candidates=32)
+        else:
+            pr_cfg = PointRendConfig(max_detections=20)
+        pr_model = PointRendModel(pr_cfg)
+        if args.pointrend_weights and os.path.exists(args.pointrend_weights):
+            params["pointrend"] = _load_np(args.pointrend_weights)
+        elif args.random_weights:
+            params["pointrend"] = pr_model.init(
+                jax.random.PRNGKey(2), jnp.zeros((pr_cfg.test_size,) * 2 + (3,))
+            )
+        else:
+            raise SystemExit("--person_segmenter pointrend needs --pointrend_weights")
+        person_fn = make_pointrend_segment_fn(pr_model)
+    else:
+        person_fn = lambda prm, imgs: (
+            jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
+        ).astype(jnp.float32)
     if args.adaptive_mask_model_type == "p":
         segment_fn = person_fn
     elif args.adaptive_mask_model_type != "baseline":

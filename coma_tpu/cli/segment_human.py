@@ -30,7 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prompts", type=str, nargs="+")
     parser.add_argument("--inpaint_dir", type=str, default="results/generation/inpaintings")
     parser.add_argument("--save_dir", type=str, default="results/generation/human_segs")
-    parser.add_argument("--segmenter_params", type=str, help="msgpack/pickle of PersonSegmenter params")
+    parser.add_argument("--segmenter", type=str, default="unet",
+                        choices=["unet", "pointrend"],
+                        help="person-mask backend: the trainable U-Net or the "
+                             "converted detectron2 PointRend (reference default)")
+    parser.add_argument("--segmenter_params", type=str, help="params store (.npz/pickle)")
     parser.add_argument("--threshold", type=float, default=0.8)
     parser.add_argument("--only_full_body_prompts", action="store_true", default=False)
     parser.add_argument("--batch_size", type=int, default=16)
@@ -85,28 +89,52 @@ def main(argv=None) -> None:
         work.append((p, out))
     work = shard_worklist(work, args.parallel_idx, args.parallel_num)
 
-    model, params = load_segmenter(args.segmenter_params)
-    apply = jax.jit(model.apply)
+    if args.segmenter == "pointrend":
+        from coma_tpu.models.pointrend import PointRendPersonSegmenter
+        from coma_tpu.utils.checkpoint import load_params
+
+        if not (args.segmenter_params and os.path.exists(args.segmenter_params)):
+            raise SystemExit(
+                "--segmenter pointrend needs --segmenter_params "
+                "(convert_weights --kind pointrend on the published "
+                "model_final_edd263.pkl)"
+            )
+        predictor = PointRendPersonSegmenter(load_params(args.segmenter_params))
+        apply = None
+    else:
+        model, params = load_segmenter(args.segmenter_params)
+        apply = jax.jit(model.apply)
+        predictor = None
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
         imgs = np.stack(
             [np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0 for p, _ in chunk]
         )
-        logits = apply(params, jnp.asarray(imgs))
-        probs = np.asarray(jax.nn.sigmoid(logits))
-        masks = np.asarray(probs_to_mask(logits))
-        for (src, out), mask, prob in zip(chunk, masks, probs):
-            instances = connected_instances(mask)
-            for inst in instances:
-                inst["score"] = float(prob[inst["mask"]].mean())
-                inst["pred_class"] = 0  # person
+        if predictor is not None:
+            per_image = [predictor(im) for im in imgs]
+            masks = probs = None
+        else:
+            logits = apply(params, jnp.asarray(imgs))
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            masks = np.asarray(probs_to_mask(logits))
+            per_image = None
+        for j, (src, out) in enumerate(chunk):
+            if per_image is not None:
+                instances = per_image[j]
+            else:
+                mask, prob = masks[j], probs[j]
+                instances = connected_instances(mask)
+                for inst in instances:
+                    inst["score"] = float(prob[inst["mask"]].mean())
+                    inst["pred_class"] = 0  # person
+            hw = imgs[j].shape[:2]
             payload = dict(
-                pred_masks=np.stack([x["mask"] for x in instances]) if instances else np.zeros((0,) + mask.shape, bool),
+                pred_masks=np.stack([x["mask"] for x in instances]) if instances else np.zeros((0,) + hw, bool),
                 pred_boxes=np.stack([x["bbox"] for x in instances]) if instances else np.zeros((0, 4), np.float32),
                 scores=np.asarray([x["score"] for x in instances], np.float32),
                 pred_classes=np.zeros(len(instances), np.int64),
-                image_size=mask.shape,
+                image_size=hw,
             )
             keep = payload["scores"] >= args.threshold
             payload = dict(
