@@ -1,17 +1,21 @@
-"""Benchmark: ComA aggregation throughput on the real chip.
+"""Benchmark: the BASELINE.md north-star metric set, on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}:
 
-Workload: the qual:backpack_human_contact aggregation at reference scale —
-H=10475 (FULL SMPL-X), O=180, N=250 (constants/coma/qual.py:2-33), i.e. one
-sample update touches 2 × H·O·N ≈ 943M f32 accumulator elements.
-
-Baseline: the reference publishes no numbers (BASELINE.md), so vs_baseline
-is measured on this machine — a faithful torch implementation of the
-reference's per-sample update (utils/coma.py:279-323 semantics, re-expressed
-independently) on the host CPU, which is the only reference-executable
-backend available here. The ratio is TPU-jitted samples/sec over torch-CPU
-samples/sec.
+- metric/value:   2D-HOI images/sec/chip — the flagship: the FULL adaptive-
+  mask inpainting pipeline (512², 50 DDIM steps, CFG, bf16 UNet, 21 in-loop
+  segment + VAE decode/encode rounds, one lax.scan) at the CLI's default
+  batch 8. Reference workload: ``src/generation/inpaint.py:367,120,127`` +
+  ``utils/adaptive_mask_inpainting.py:732-1109``.
+- vs_baseline:    measured on this host — a torch-CPU mirror of the same
+  dominant work (50 CFG UNet steps + 21 x̂₀ VAE decodes per image; mirrors
+  from ``tests/torch_sd_mirror.py`` with the published SD-inpaint config).
+  The reference publishes no numbers (BASELINE.md), so the baseline is the
+  reference-style torch stack on the only hardware it can run on here.
+- extra:          UNet CFG-step latency + measured MFU (XLA cost-analysis
+  FLOPs / step time / chip bf16 peak), and the ComA contact-aggregation
+  throughput at reference scale (H=10475, O=180, N=250) with its own
+  measured torch-CPU baseline ratio.
 """
 from __future__ import annotations
 
@@ -21,10 +25,15 @@ import time
 import numpy as np
 
 
+# ---------------------------------------------------------------- ComA
+
 H, O, N = 10475, 180, 250
 SIGMA, GRID_SIZE, THRES, EPS = 0.25, 0.07, 0.03, 1e-10
-TPU_WARMUP, TPU_ITERS = 1, 32
+TPU_ITERS = 32
 BASELINE_ITERS = 2
+
+# TPU v5e (v5 lite) bf16 peak; used only for the MFU figure
+V5E_BF16_PEAK = 197e12
 
 
 def make_samples(b):
@@ -38,7 +47,7 @@ def make_samples(b):
     )
 
 
-def bench_tpu() -> float:
+def bench_coma_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -49,28 +58,26 @@ def bench_tpu() -> float:
     hv, hn, ov, on = (jnp.asarray(x) for x in make_samples(TPU_ITERS))
     step = jax.jit(fused_contact_update_batch)
 
-    # warmup / compile (same shapes as the timed run — one cache entry);
-    # release the zero-init state so only one 3.8GB grid generation is live
     out = step(state, hv, hn, ov, on)
     del state
-    float(out.used_count)  # scalar readback forces real completion
+    float(out.used_count)  # force completion
 
     t0 = time.perf_counter()
     out2 = step(out, hv, hn, ov, on)
     del out
     float(out2.used_count)
     dt = time.perf_counter() - t0
+    del out2
     return TPU_ITERS / dt
 
 
-def bench_torch_cpu() -> float:
+def bench_coma_torch_cpu() -> float:
     """Reference-style torch update on host CPU (the measurable baseline)."""
     import torch
 
     grid_np = _fibonacci(N)
     grid = torch.tensor(grid_np, dtype=torch.float32)
     p = torch.tensor([0.0, 0.0, 1.0])
-    q = torch.tensor([0.0, 1.0, 0.0])
     ph = torch.zeros(H, O, N)
     po = torch.zeros(H, O, N)
     nom = torch.zeros(H, O)
@@ -93,7 +100,6 @@ def bench_torch_cpu() -> float:
         return torch.exp(-torch.arccos(cos) ** 2 / SIGMA**2)
 
     hv, hn, ov, on = (torch.tensor(x) for x in make_samples(BASELINE_ITERS))
-    # avoid the singular branch in this benchmark copy: flip normals near -p
     hn = torch.where(hn[..., 2:3] < -0.99, -hn, hn)
     on = torch.where(on[..., 2:3] < -0.99, -on, on)
 
@@ -117,22 +123,172 @@ def _fibonacci(n):
     ).astype(np.float32)
 
 
+# ----------------------------------------------------- flagship: 2D HOI
+
+RES, LAT, BATCH, STEPS = 512, 64, 8, 50
+
+
+def _build_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskConfig,
+        AdaptiveMaskInpaintPipeline,
+    )
+    from coma_tpu.models.diffusion.unet import UNet2DCondition, UNetConfig
+    from coma_tpu.models.diffusion.vae import Decoder, Encoder, VAEConfig
+    from coma_tpu.models.segmentation import PersonSegmenter
+
+    ucfg = UNetConfig(dtype=jnp.bfloat16)
+    unet = UNet2DCondition(ucfg)
+    vcfg = VAEConfig()
+    enc, dec = Encoder(vcfg), Decoder(vcfg)
+    seg = PersonSegmenter()
+
+    k = jax.random.PRNGKey(0)
+    params = dict(
+        unet=unet.init(
+            k,
+            jnp.zeros((1, LAT, LAT, 9), ucfg.dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype),
+        ),
+        vae_encoder=enc.init(k, jnp.zeros((1, RES, RES, 3))),
+        vae_decoder=dec.init(k, jnp.zeros((1, LAT, LAT, 4))),
+        segmenter=seg.init(k, jnp.zeros((1, RES, RES, 3))),
+    )
+
+    unet_fn = lambda prm, lat, t, ctx: unet.apply(
+        prm["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
+    ).astype(jnp.float32)
+    person_fn = lambda prm, imgs: (
+        jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
+    ).astype(jnp.float32)
+    pipe = AdaptiveMaskInpaintPipeline(
+        unet_fn=unet_fn,
+        vae_encode_fn=lambda prm, img: enc.apply(prm["vae_encoder"], img),
+        vae_decode_fn=lambda prm, lat: dec.apply(prm["vae_decoder"], lat),
+        segment_fn=person_fn,
+        config=AdaptiveMaskConfig(num_inference_steps=STEPS),
+    )
+    return pipe, params, unet_fn, ucfg
+
+
+def bench_inpaint():
+    """Returns (images/sec/chip, unet CFG-step seconds, measured MFU)."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe, params, unet_fn, ucfg = _build_pipeline()
+
+    img = jnp.zeros((BATCH, RES, RES, 3))
+    mask = jnp.ones((BATCH, RES, RES))
+    emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
+    neg = jnp.zeros_like(emb)
+
+    gen = jax.jit(pipe.generate_p)
+    gen(params, jax.random.PRNGKey(1), img, mask, emb, neg).block_until_ready()
+    t0 = time.perf_counter()
+    iters = 2
+    for i in range(iters):
+        gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg).block_until_ready()
+    imgs_per_sec = BATCH * iters / (time.perf_counter() - t0)
+
+    # isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU
+    lat_in = jnp.zeros((2 * BATCH, LAT, LAT, 9), jnp.float32)
+    t_in = jnp.full((2 * BATCH,), 500.0)
+    ctx = jnp.zeros((2 * BATCH, 77, ucfg.cross_attention_dim))
+    step = jax.jit(lambda p, l, t, c: unet_fn(p, l, t, c))
+    compiled = step.lower(params, lat_in, t_in, ctx).compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    if not flops or not np.isfinite(flops):
+        # analytic fallback: SD-1.x UNet ≈ 677 GMACs per 512² image
+        flops = 677e9 * 2 * 2 * BATCH
+    compiled(params, lat_in, t_in, ctx).block_until_ready()
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        out = compiled(params, lat_in, t_in, ctx)
+    out.block_until_ready()
+    step_s = (time.perf_counter() - t0) / n
+    mfu = flops / step_s / V5E_BF16_PEAK
+    return imgs_per_sec, step_s, mfu
+
+
+def bench_inpaint_torch_cpu() -> float:
+    """Baseline images/sec for the dominant per-image work on torch CPU:
+    50 CFG UNet steps + 21 provoke-round VAE decodes (full SD-inpaint config
+    mirrors from tests/). Segmentation/re-encode excluded — favors the
+    baseline. Measured from one step of each (they are step-homogeneous)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import torch
+
+    from torch_sd_mirror import UNetMirror, VAEDecoderMirror
+
+    with torch.no_grad():
+        unet = UNetMirror().eval()  # defaults = full SD-inpaint config
+        lat = torch.zeros(2, 9, LAT, LAT)
+        t = torch.full((2,), 500.0)
+        ctx = torch.zeros(2, 77, 768)
+        unet(lat, t, ctx)  # warmup
+        t0 = time.perf_counter()
+        unet(lat, t, ctx)
+        unet_s = time.perf_counter() - t0
+
+        dec = VAEDecoderMirror(3, (128, 256, 512, 512), 2, 32).eval()
+        z = torch.zeros(1, 4, LAT, LAT)
+        dec(z)
+        t0 = time.perf_counter()
+        dec(z)
+        dec_s = time.perf_counter() - t0
+    per_image = STEPS * unet_s + 21 * dec_s
+    return 1.0 / per_image
+
+
 def main():
     from coma_tpu.cli._common import enable_compilation_cache
 
     enable_compilation_cache()
-    tpu = bench_tpu()
+
+    imgs_per_sec, unet_step_s, mfu = bench_inpaint()
     try:
-        baseline = bench_torch_cpu()
+        inpaint_base = bench_inpaint_torch_cpu()
     except Exception:
-        baseline = None
+        inpaint_base = None
+
+    coma_tpu_sps = bench_coma_tpu()
+    try:
+        coma_base = bench_coma_torch_cpu()
+    except Exception:
+        coma_base = None
+
     print(
         json.dumps(
             {
-                "metric": "coma_contact_aggregation_samples_per_sec",
-                "value": round(tpu, 3),
-                "unit": f"samples/s (H={H}, O={O}, N={N})",
-                "vs_baseline": round(tpu / baseline, 2) if baseline else None,
+                "metric": "hoi_2d_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 4),
+                "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, batch 8)",
+                "vs_baseline": (
+                    round(imgs_per_sec / inpaint_base, 2) if inpaint_base else None
+                ),
+                "extra": {
+                    "unet_cfg_step_ms": round(unet_step_s * 1e3, 2),
+                    "unet_step_mfu": round(mfu, 4),
+                    "coma_contact_aggregation_samples_per_sec": round(coma_tpu_sps, 3),
+                    "coma_vs_torch_cpu": (
+                        round(coma_tpu_sps / coma_base, 2) if coma_base else None
+                    ),
+                    "baseline_def": "torch-CPU mirrors on this host (reference publishes none)",
+                },
             }
         )
     )

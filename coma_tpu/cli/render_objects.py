@@ -19,14 +19,15 @@ from coma_tpu.config.assets import (
     CATEGORY2PERTURB_CONFIG,
     DATASET_PTHS,
     DATASET_TYPE2CATEGORIES,
+    discover_assets,
     resolve_asset_obj_path,
 )
 from coma_tpu.core.paths import flatten
-from coma_tpu.geometry.mesh import load_obj
+from coma_tpu.geometry.mesh import load_obj_textured
 from coma_tpu.pipelines.rendering import (
     build_camera_ring,
     candidate_mask_grid,
-    render_object_views,
+    render_object_views_textured,
     sample_perturbations,
     save_camera_pickle,
 )
@@ -66,7 +67,7 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
     from PIL import Image
 
     sc_str, cat_str = flatten(supercategory), flatten(category)
-    mesh = load_obj(obj_pth)
+    mesh = load_obj_textured(obj_pth)
     verts_world = mesh.vertices @ OBJ_TO_WORLD.T
     faces = mesh.faces
 
@@ -113,7 +114,7 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
             seg_pth = f"{dirs['seg']}/{view_id}.png"
             if args.skip_done and os.path.exists(seg_pth):
                 continue
-            seg, rgb = render_object_views(camera, pv, faces)
+            seg, rgb = render_object_views_textured(camera, pv, mesh)
             Image.fromarray(seg).save(seg_pth)
             Image.fromarray(rgb).save(f"{dirs['render']}/{view_id}.png")
 
@@ -151,18 +152,27 @@ def main(argv=None) -> None:
     if args.obj_pth:
         jobs.append((args.supercategory, args.category, args.asset_id, args.obj_pth))
     else:
-        scs = DATASET_TYPE2CATEGORIES[args.dataset_type]
         supercats, cats = lower_all(args.supercategories), lower_all(args.categories)
-        if supercats:
-            scs = [sc for sc in scs if sc[0].lower() in supercats]
-        if cats:
-            scs = [sc for sc in scs if sc[1].lower() in cats]
-        for supercategory, category in scs:
-            for asset_id in CATEGORY2ASSET[supercategory][category]:
-                jobs.append(
-                    (supercategory, category, asset_id,
-                     resolve_asset_obj_path(args.dataset_type, supercategory, category, asset_id))
-                )
+        try:
+            # enumerate from the dataset's own metadata (the reference's
+            # per-dataset adapters, render_objects.py:352-719)
+            found = discover_assets(args.dataset_type)
+        except (OSError, KeyError):
+            # dataset metadata absent: fall back to the whitelist + path schema
+            found = []
+            for supercategory, category in DATASET_TYPE2CATEGORIES[args.dataset_type]:
+                for asset_id in CATEGORY2ASSET[supercategory][category]:
+                    found.append(
+                        (supercategory, category, asset_id,
+                         resolve_asset_obj_path(args.dataset_type, supercategory,
+                                                category, asset_id))
+                    )
+        for supercategory, category, asset_id, obj_pth in found:
+            if supercats and supercategory.lower() not in supercats:
+                continue
+            if cats and category.lower() not in cats:
+                continue
+            jobs.append((supercategory, category, asset_id, obj_pth))
 
     for supercategory, category, asset_id, obj_pth in jobs:
         n = render_asset(args, supercategory, category, asset_id, obj_pth)

@@ -10,6 +10,7 @@ values; the dataset .obj path resolution mirrors
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Optional
 
 DATASET_PTHS = {
@@ -185,6 +186,104 @@ def resolve_asset_obj_path(
     if dataset_type in ("SKETCHFAB", "SAPIEN"):
         return f"{dataset_dir}/{supercategory}/{asset_id}/model.obj"
     raise ValueError(f"unknown dataset_type: {dataset_type}")
+
+
+def _load_categories_module(dataset_dir: str):
+    """Load ``{dataset_dir}/categories.py`` (the 3D-FUTURE / SketchFab /
+    SAPIEN metadata module the reference imports by dotted path,
+    ``render_objects.py:372-373,501,676``)."""
+    import importlib.util
+
+    pth = os.path.join(dataset_dir, "categories.py")
+    spec = importlib.util.spec_from_file_location("_dataset_categories", pth)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def discover_assets(
+    dataset_type: str,
+    dataset_pths: Optional[Dict[str, str]] = None,
+    restrict_to_whitelist: bool = True,
+) -> list:
+    """Enumerate a dataset's assets the way the reference's per-dataset
+    render adapters do (``render_objects.py:352-719``): returns
+    ``[(supercategory, category, asset_id, obj_pth), ...]``.
+
+    - 3D-FUTURE: ``model_info.json`` entries -> ``{model_id}/raw_model.obj``
+      (``:381-387``)
+    - SHAPENET: ``taxonomy.json`` name->synsetId; texture-bearing models under
+      ``{synsetId}/{model_id}/models/model_normalized.obj`` (``:560-585``,
+      adapter lines per upstream layout)
+    - SKETCHFAB / SAPIEN: ``categories.py`` ``_CATEGORIES_3D`` +
+      ``{super-category}/*/model.obj`` (``:501-517``, ``:676-692``)
+    - BEHAVE: ``objects/{category}/{category}.obj``, supercategory BEHAVE
+      (``:561-576``)
+    - INTERCAP: ``objects/{category}/mesh.obj``, supercategory INTERCAP
+      (``:620-635``)
+
+    With ``restrict_to_whitelist`` the list is intersected with
+    ``CATEGORY2ASSET`` exactly like ``render_from_asset_info:47-49``.
+    """
+    import glob as _glob
+
+    dataset_dir = (dataset_pths or DATASET_PTHS)[dataset_type]
+    out = []
+    if dataset_type == "3D-FUTURE":
+        with open(os.path.join(dataset_dir, "model_info.json")) as fh:
+            infos = json.load(fh)
+        for info in infos:
+            out.append(
+                (
+                    info.get("super-category", info.get("supercategory", "")),
+                    info.get("category", ""),
+                    info["model_id"],
+                    f"{dataset_dir}/{info['model_id']}/raw_model.obj",
+                )
+            )
+    elif dataset_type == "SHAPENET":
+        with open(os.path.join(dataset_dir, "taxonomy.json")) as fh:
+            taxonomy = json.load(fh)
+        for entry in taxonomy:
+            category, synset = entry["name"], entry["synsetId"]
+            for d in sorted(
+                _glob.glob(f"{dataset_dir}/{synset}/*/*")
+            ):  # texture-bearing models only (reference ``:570``)
+                model_id = d.split("/")[-2]
+                out.append(
+                    (
+                        category,
+                        category,
+                        model_id,
+                        f"{dataset_dir}/{synset}/{model_id}/models/model_normalized.obj",
+                    )
+                )
+    elif dataset_type in ("SKETCHFAB", "SAPIEN"):
+        mod = _load_categories_module(dataset_dir)
+        for info in mod._CATEGORIES_3D:
+            sc, cat = info["super-category"], info["category"]
+            for pth in sorted(_glob.glob(f"{dataset_dir}/{sc}/*/model.obj")):
+                out.append((sc, cat, pth.split("/")[-2], pth))
+    elif dataset_type == "BEHAVE":
+        for d in sorted(_glob.glob(f"{dataset_dir}/objects/*")):
+            cat = d.split("/")[-1]
+            out.append(("BEHAVE", cat, "behave_asset", f"{d}/{cat}.obj"))
+    elif dataset_type == "INTERCAP":
+        for d in sorted(_glob.glob(f"{dataset_dir}/objects/*")):
+            cat = d.split("/")[-1]
+            out.append(("INTERCAP", cat, "intercap_asset", f"{d}/mesh.obj"))
+    else:
+        raise ValueError(f"unknown dataset_type: {dataset_type}")
+
+    if restrict_to_whitelist:
+        out = [
+            (sc, cat, aid, pth)
+            for sc, cat, aid, pth in out
+            if sc in CATEGORY2ASSET
+            and cat in CATEGORY2ASSET[sc]
+            and aid in CATEGORY2ASSET[sc][cat]
+        ]
+    return out
 
 
 def layered_get(config: Dict[str, Any], *keys, default=None):

@@ -131,6 +131,148 @@ def rasterize_depth(
     return zbuf
 
 
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y"))
+def rasterize_attributes(
+    tri_px: jax.Array,   # (T, 3, 3): pixel x, pixel y, depth
+    tri_uv: jax.Array,   # (T, 3, 2): per-corner UVs
+    tri_mat: jax.Array,  # (T,) int32 material ids
+    tri_n: jax.Array,    # (T, 3) face normals (world)
+    height: int,
+    width: int,
+    chunk: int = 64,
+    flip_y: bool = True,
+):
+    """Z-buffered attribute pass: returns (zbuf, uv (H, W, 2), mat (H, W),
+    normal (H, W, 3)) for the nearest triangle per pixel. One scan over
+    triangle chunks, winner-take-all by depth — the textured counterpart of
+    :func:`rasterize_depth` (the reference gets this from Cycles,
+    ``utils/blenderproc.py:161-180``)."""
+    T = tri_px.shape[0]
+    Tp = _round_up(max(T, 1), chunk)
+    tri_px = jnp.pad(tri_px, ((0, Tp - T), (0, 0), (0, 0)))
+    tri_uv = jnp.pad(tri_uv, ((0, Tp - T), (0, 0), (0, 0)))
+    tri_mat = jnp.pad(tri_mat, (0, Tp - T))
+    tri_n = jnp.pad(tri_n, ((0, Tp - T), (0, 0)))
+
+    ys = jnp.arange(height, dtype=tri_px.dtype) + 0.5
+    if flip_y:
+        ys = height - ys
+    xs = jnp.arange(width, dtype=tri_px.dtype) + 0.5
+    px = xs[None, :]
+    py = ys[:, None]
+
+    def chunk_attrs(tri, uv, mat, nrm):
+        x0, y0, z0 = tri[:, 0, 0], tri[:, 0, 1], tri[:, 0, 2]
+        x1, y1, z1 = tri[:, 1, 0], tri[:, 1, 1], tri[:, 1, 2]
+        x2, y2, z2 = tri[:, 2, 0], tri[:, 2, 1], tri[:, 2, 2]
+        denom = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)[:, None, None]
+        dx = px - x0[:, None, None]
+        dy = py - y0[:, None, None]
+        u = (dx * (y2 - y0)[:, None, None] - dy * (x2 - x0)[:, None, None]) / safe
+        v = (dy * (x1 - x0)[:, None, None] - dx * (y1 - y0)[:, None, None]) / safe
+        inside = (
+            (u >= 0) & (v >= 0) & (u + v <= 1)
+            & (jnp.abs(denom)[:, None, None] > 1e-12)
+        )
+        z = (
+            z0[:, None, None]
+            + u * (z1 - z0)[:, None, None]
+            + v * (z2 - z0)[:, None, None]
+        )
+        z = jnp.where(inside, z, jnp.inf)
+        win = jnp.argmin(z, axis=0)  # (H, W)
+        take = lambda a: jnp.take_along_axis(a, win[None], axis=0)[0]
+        zw = take(z)
+        uw, vw = take(u), take(v)
+        uv_w = (
+            uv[win, 0]
+            + uw[..., None] * (uv[win, 1] - uv[win, 0])
+            + vw[..., None] * (uv[win, 2] - uv[win, 0])
+        )  # (H, W, 2)
+        return zw, uv_w, mat[win], nrm[win]
+
+    def body(carry, xs_):
+        zbuf, uv_img, mat_img, n_img = carry
+        zw, uv_w, mat_w, n_w = chunk_attrs(*xs_)
+        better = zw < zbuf
+        return (
+            jnp.where(better, zw, zbuf),
+            jnp.where(better[..., None], uv_w, uv_img),
+            jnp.where(better, mat_w, mat_img),
+            jnp.where(better[..., None], n_w, n_img),
+        ), None
+
+    carry0 = (
+        jnp.full((height, width), jnp.inf, tri_px.dtype),
+        jnp.zeros((height, width, 2), tri_px.dtype),
+        jnp.zeros((height, width), tri_mat.dtype),
+        jnp.zeros((height, width, 3), tri_px.dtype),
+    )
+    n = Tp // chunk
+    (zbuf, uv_img, mat_img, n_img), _ = jax.lax.scan(
+        body,
+        carry0,
+        (
+            tri_px.reshape(n, chunk, 3, 3),
+            tri_uv.reshape(n, chunk, 3, 2),
+            tri_mat.reshape(n, chunk),
+            tri_n.reshape(n, chunk, 3),
+        ),
+    )
+    return zbuf, uv_img, mat_img, n_img
+
+
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y"))
+def render_textured(
+    tri_px: jax.Array,    # (T, 3, 3)
+    tri_uv: jax.Array,    # (T, 3, 2)
+    tri_mat: jax.Array,   # (T,)
+    tri_n: jax.Array,     # (T, 3)
+    textures: jax.Array,  # (M, S, S, 3)
+    height: int,
+    width: int,
+    chunk: int = 64,
+    flip_y: bool = True,
+    light_dir=(0.25, 0.15, 0.95),   # mostly-overhead (reference area light
+                                     # at (0, 0, 10), blenderproc.py:108)
+    ambient: float = 0.35,
+    background: float = 1.0,
+):
+    """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
+
+    UV sampling is bilinear with wrap (OBJ convention, v up); shading is
+    two-sided diffuse against a directional light + ambient."""
+    zbuf, uv_img, mat_img, n_img = rasterize_attributes(
+        tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y
+    )
+    covered = jnp.isfinite(zbuf)
+    M, S, _, _ = textures.shape
+    # wrap UVs; OBJ v runs bottom-up
+    uu = jnp.mod(uv_img[..., 0], 1.0) * (S - 1)
+    vv = (1.0 - jnp.mod(uv_img[..., 1], 1.0)) * (S - 1)
+    x0 = jnp.floor(uu).astype(jnp.int32)
+    y0 = jnp.floor(vv).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, S - 1)
+    y1 = jnp.minimum(y0 + 1, S - 1)
+    wx = (uu - x0)[..., None]
+    wy = (vv - y0)[..., None]
+    m = mat_img
+    tex = (
+        textures[m, y0, x0] * (1 - wy) * (1 - wx)
+        + textures[m, y0, x1] * (1 - wy) * wx
+        + textures[m, y1, x0] * wy * (1 - wx)
+        + textures[m, y1, x1] * wy * wx
+    )
+    light = jnp.asarray(light_dir, tri_px.dtype)
+    light = light / jnp.linalg.norm(light)
+    lambert = jnp.abs(n_img @ light)  # two-sided
+    shade = ambient + (1.0 - ambient) * lambert
+    rgb = tex * shade[..., None]
+    rgb = jnp.where(covered[..., None], rgb, background)
+    return jnp.clip(rgb, 0.0, 1.0), covered
+
+
 def render_silhouette(
     camera: OrthoCamera,
     verts: jax.Array,   # (V, 3) world

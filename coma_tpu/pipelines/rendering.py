@@ -246,6 +246,67 @@ def render_object_views(
     return seg, np.repeat(rgb, 3, axis=-1) if rgb.shape[-1] == 1 else rgb.astype(np.uint8)
 
 
+def render_object_views_textured(
+    camera: OrthoCamera,
+    verts: np.ndarray,          # (V, 3) world (already perturbed/placed)
+    tmesh,                       # geometry.mesh.TexturedMesh (topology/UV/mats)
+    ground_z: float = 0.0,
+    ground_color: float = 0.78,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Object segmap + textured Lambertian RGB over a ground plane.
+
+    The RGB counterpart of the reference's Cycles render with MTL textures
+    (``render_objects.py:90,309``; scene = asset + plane + area light,
+    ``utils/blenderproc.py:100-113``). Returns (seg uint8, rgb uint8)."""
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    verts_j = jnp.asarray(verts, jnp.float32)
+    faces = np.asarray(tmesh.faces)
+    seg = np.asarray(
+        render_silhouette(camera, verts_j, jnp.asarray(faces))
+    ).astype(np.uint8) * 255
+
+    pz = np.asarray(project_points(camera, verts_j))  # (V, 3)
+    tri_px = pz[faces]
+    # per-corner UVs (0 where the face has none -> constant layer anyway)
+    fuv = np.asarray(tmesh.face_uvs)
+    uvs = tmesh.uvs if len(tmesh.uvs) else np.zeros((1, 2), np.float32)
+    tri_uv = uvs[np.clip(fuv, 0, len(uvs) - 1)].astype(np.float32)
+    tri_mat = np.asarray(tmesh.face_material, np.int32)
+    # world-space face normals for shading
+    v = np.asarray(verts, np.float64)
+    e1 = v[faces[:, 1]] - v[faces[:, 0]]
+    e2 = v[faces[:, 2]] - v[faces[:, 0]]
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    # ground plane: two large triangles at z=ground_z on an extra material
+    W, H = camera.resolution
+    ext = 1e4
+    gverts = np.array(
+        [[-ext, -ext, ground_z], [ext, -ext, ground_z],
+         [ext, ext, ground_z], [-ext, ext, ground_z]], np.float32
+    )
+    gpz = np.asarray(project_points(camera, jnp.asarray(gverts)))
+    g_tri = gpz[np.array([[0, 1, 2], [0, 2, 3]])]
+    M = tmesh.textures.shape[0]
+    textures = np.concatenate(
+        [tmesh.textures,
+         np.full((1,) + tmesh.textures.shape[1:], ground_color, np.float32)],
+        axis=0,
+    )
+    tri_px = np.concatenate([tri_px, g_tri], axis=0).astype(np.float32)
+    tri_uv = np.concatenate([tri_uv, np.zeros((2, 3, 2), np.float32)], axis=0)
+    tri_mat = np.concatenate([tri_mat, np.full(2, M, np.int32)])
+    tri_n = np.concatenate([n, np.tile([[0.0, 0.0, 1.0]], (2, 1))]).astype(np.float32)
+
+    rgb, _ = render_textured(
+        jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
+        jnp.asarray(tri_n), jnp.asarray(textures), H, W,
+    )
+    return seg, (np.asarray(rgb) * 255).astype(np.uint8)
+
+
 def save_camera_pickle(
     path: str,
     camera: OrthoCamera,

@@ -1,0 +1,188 @@
+"""Textured RGB rendering + per-dataset asset discovery.
+
+Covers VERDICT item 4: MTL/UV-textured renders (the reference conditions SD
+inpainting on Cycles RGB with materials, ``render_objects.py:90,309``) and
+the six dataset adapters' enumeration (``render_objects.py:352-719``).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from coma_tpu.config.assets import discover_assets
+from coma_tpu.geometry.mesh import load_obj_textured
+
+
+def _write(path, content):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(content)
+
+
+@pytest.fixture()
+def textured_quad(tmp_path):
+    """A two-triangle quad with a red/blue half-split texture."""
+    from PIL import Image
+
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = [255, 0, 0]
+    tex[:, 4:] = [0, 0, 255]
+    Image.fromarray(tex).save(tmp_path / "tex.png")
+    _write(
+        str(tmp_path / "mat.mtl"),
+        "newmtl painted\nKd 1.0 1.0 1.0\nmap_Kd tex.png\n",
+    )
+    _write(
+        str(tmp_path / "quad.obj"),
+        "mtllib mat.mtl\n"
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl painted\n"
+        "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n",
+    )
+    return str(tmp_path / "quad.obj")
+
+
+def test_load_obj_textured(textured_quad):
+    m = load_obj_textured(textured_quad)
+    assert m.vertices.shape == (4, 3)
+    assert m.faces.shape == (2, 3)
+    assert m.uvs.shape == (4, 2)
+    assert m.face_uvs.shape == (2, 3)
+    # material 0 is the default layer; 'painted' gets layer 1
+    assert m.textures.shape[0] == 2
+    assert (m.face_material == 1).all()
+    # left half of the texture is red (rows x cols: v flipped at sample time)
+    assert m.textures[1, 0, 0, 0] > 0.9 and m.textures[1, 0, 0, 2] < 0.1
+
+
+def test_load_obj_textured_kd_only(tmp_path):
+    _write(str(tmp_path / "m.mtl"), "newmtl green\nKd 0.1 0.9 0.2\n")
+    _write(
+        str(tmp_path / "a.obj"),
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl green\nf 1 2 3\n",
+    )
+    m = load_obj_textured(str(tmp_path / "a.obj"))
+    np.testing.assert_allclose(m.textures[1, 3, 3], [0.1, 0.9, 0.2], atol=1e-6)
+    assert (m.face_uvs == -1).all()  # no UVs present
+
+
+def test_render_textured_quad(textured_quad):
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    m = load_obj_textured(textured_quad)
+    # orthographic identity projection: map [-1,1]² onto a 32² image
+    v = m.vertices.astype(np.float32)
+    px = (v[:, :2] + 1.0) * 16.0
+    tri_px = np.concatenate(
+        [px, np.ones((4, 1), np.float32)], axis=-1
+    )[m.faces]
+    tri_uv = m.uvs[m.face_uvs].astype(np.float32)
+    tri_n = np.tile([[0.0, 0.0, 1.0]], (2, 1)).astype(np.float32)
+    rgb, covered = render_textured(
+        jnp.asarray(tri_px), jnp.asarray(tri_uv),
+        jnp.asarray(m.face_material), jnp.asarray(tri_n),
+        jnp.asarray(m.textures), 32, 32, flip_y=False,
+    )
+    rgb = np.asarray(rgb)
+    assert np.asarray(covered).all()  # quad covers the full viewport
+    # u < 0.5 (left in pixel x) samples red, u > 0.5 samples blue
+    assert rgb[16, 4, 0] > rgb[16, 4, 2]
+    assert rgb[16, 28, 2] > rgb[16, 28, 0]
+
+
+def test_render_object_views_textured_ground(textured_quad):
+    from coma_tpu.pipelines.rendering import (
+        build_camera_ring,
+        render_object_views_textured,
+    )
+
+    m = load_obj_textured(textured_quad)
+    verts = m.vertices - [0, 0, m.vertices[:, 2].min() - 0.5]  # lift off ground
+    cams = build_camera_ring(
+        length_z=1.0, ortho_scale_world=6.0, view_num=1,
+        elevation_deg=30.0, resolution=(48, 48),
+    )
+    seg, rgb = render_object_views_textured(cams[0], verts, m)
+    assert seg.shape == (48, 48) and rgb.shape == (48, 48, 3)
+    assert seg.max() == 255
+    # the scene is not a flat constant: object pixels differ from ground
+    obj_px = rgb[seg > 0]
+    ground_px = rgb[seg == 0]
+    assert abs(float(obj_px.mean()) - float(ground_px.mean())) > 5
+
+
+# ------------------------------------------------------- dataset adapters
+
+
+def test_discover_3d_future(tmp_path):
+    root = tmp_path / "fut"
+    _write(
+        str(root / "model_info.json"),
+        json.dumps(
+            [
+                {"model_id": "0a5a346c-cc3b-4280-b358-ccd1c4d8a865",
+                 "super-category": "Chair",
+                 "category": "Lounge Chair / Cafe Chair / Office Chair"},
+                {"model_id": "not-whitelisted", "super-category": "Chair",
+                 "category": "Lounge Chair / Cafe Chair / Office Chair"},
+            ]
+        ),
+    )
+    found = discover_assets("3D-FUTURE", {"3D-FUTURE": str(root)})
+    assert len(found) == 1
+    sc, cat, aid, pth = found[0]
+    assert aid == "0a5a346c-cc3b-4280-b358-ccd1c4d8a865"
+    assert pth.endswith(f"{aid}/raw_model.obj")
+    unfiltered = discover_assets(
+        "3D-FUTURE", {"3D-FUTURE": str(root)}, restrict_to_whitelist=False
+    )
+    assert len(unfiltered) == 2
+
+
+def test_discover_shapenet(tmp_path):
+    root = tmp_path / "shapenet"
+    _write(str(root / "taxonomy.json"),
+           json.dumps([{"name": "motorcycle,bike", "synsetId": "03790512"}]))
+    os.makedirs(root / "03790512" / "model_x" / "models")
+    _write(str(root / "03790512" / "model_x" / "models" / "model_normalized.obj"), "")
+    found = discover_assets(
+        "SHAPENET", {"SHAPENET": str(root)}, restrict_to_whitelist=False
+    )
+    assert found == [
+        ("motorcycle,bike", "motorcycle,bike", "model_x",
+         f"{root}/03790512/model_x/models/model_normalized.obj")
+    ]
+
+
+def test_discover_behave_intercap(tmp_path):
+    b = tmp_path / "behave"
+    _write(str(b / "objects" / "backpack" / "backpack.obj"), "")
+    found = discover_assets("BEHAVE", {"BEHAVE": str(b)})
+    assert found == [
+        ("BEHAVE", "backpack", "behave_asset", f"{b}/objects/backpack/backpack.obj")
+    ]
+    i = tmp_path / "intercap"
+    _write(str(i / "objects" / "suitcase" / "mesh.obj"), "")
+    found = discover_assets("INTERCAP", {"INTERCAP": str(i)})
+    assert found == [
+        ("INTERCAP", "suitcase", "intercap_asset", f"{i}/objects/suitcase/mesh.obj")
+    ]
+
+
+def test_discover_sketchfab_categories_module(tmp_path):
+    root = tmp_path / "sketchfab"
+    _write(
+        str(root / "categories.py"),
+        "_CATEGORIES_3D = [{'super-category': 'Gym', 'category': 'dumbbell'}]\n",
+    )
+    _write(str(root / "Gym" / "model_a" / "model.obj"), "")
+    found = discover_assets(
+        "SKETCHFAB", {"SKETCHFAB": str(root)}, restrict_to_whitelist=False
+    )
+    assert found == [("Gym", "dumbbell", "model_a", f"{root}/Gym/model_a/model.obj")]
