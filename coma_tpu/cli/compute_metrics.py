@@ -48,7 +48,10 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from coma_tpu.lifting.cameras import OrthoCamera
-    from coma_tpu.lifting.metrics import intersection_volume_ratio, silhouette_iou
+    from coma_tpu.lifting.metrics import (
+        intersection_volume_ratio_adaptive,
+        silhouette_iou,
+    )
     from coma_tpu.lifting.rasterizer import render_silhouette
 
     args = build_parser().parse_args(argv)
@@ -114,11 +117,14 @@ def main(argv=None) -> None:
         hv = jnp.asarray(human["verts"], jnp.float32)
         hf = jnp.asarray(np.asarray(human["faces"], np.int64))
 
-        # metric 1: intersection-volume ratio
-        ratio = float(intersection_volume_ratio(
+        # metric 1: intersection-volume ratio (gray-zone cases near the 0.05
+        # post-filter threshold auto-refine at 2x resolution — see
+        # docs/TOLERANCE.md for the measured error bounds)
+        ratio = intersection_volume_ratio_adaptive(
             hv, hf, jnp.asarray(asset_verts, jnp.float32), jnp.asarray(asset_faces),
             resolution=args.voxel_resolution,
-        ))
+            fine_resolution=2 * args.voxel_resolution,
+        )
 
         # metric 2: silhouette IoU vs the segmentation GT (with asset occlusion)
         seg_pth = (
