@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
     )
     parser.add_argument("--scale_tolerance", type=float, default=3.0)
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-process run: jax.distributed bootstrap, "
+                             "per-process sample shards, DCN psum of the "
+                             "accumulators (env: COMA_COORDINATOR, "
+                             "COMA_NUM_PROCESSES, COMA_PROCESS_ID)")
     return parser
 
 
@@ -44,6 +49,10 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
     enable_compilation_cache()
+    if args.multihost:
+        from coma_tpu.parallel import multihost
+
+        multihost.initialize()
     results_root = args.human_sample_dir.rsplit("/generation/human_sample", 1)[0]
     run_affordance_extraction(
         hyperparams=get_hyperparams(args.hyperparams_key),
@@ -55,6 +64,7 @@ def main(argv=None) -> None:
         constants_mesh_dir=args.constants_mesh_dir,
         scale_tolerance=args.scale_tolerance,
         skip_done=args.skip_done,
+        multihost=args.multihost,
     )
 
 

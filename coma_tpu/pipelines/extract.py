@@ -174,8 +174,13 @@ def run_affordance_extraction(
     scale_tolerance: float = 3.0,
     skip_done: bool = False,
     verbose: bool = True,
+    multihost: bool = False,
 ) -> List[str]:
-    """Run extraction for every discovered SCAM; returns saved product paths."""
+    """Run extraction for every discovered SCAM; returns saved product paths.
+
+    With ``multihost`` (after ``parallel.multihost.initialize()``): each
+    process aggregates its shard of the sample list, states are combined with
+    one DCN psum, and process 0 writes the outputs (SURVEY §2.6 mapping)."""
     tree = ResultsTree(results_root)
     visualize_type = hyperparams["visualize_type"]
     occupancy = visualize_type == "occupancy"
@@ -258,9 +263,23 @@ def run_affordance_extraction(
                     sub_principle_vec=hyperparams["sub_principle_vec"],
                     eps=hyperparams["eps"],
                 )
+            agg_keys = keys
+            if multihost:
+                from coma_tpu.parallel import multihost as mh
+
+                agg_keys = mh.process_shard_worklist(sorted(keys))
             state, n_samples = aggregate_samples_streaming(
-                state, keys, prepare_one, occupancy
+                state, agg_keys, prepare_one, occupancy
             )
+            if multihost:
+                state = mh.allreduce_state(state)
+                n_samples = int(
+                    np.asarray(
+                        mh.allreduce_tree(np.asarray(n_samples, np.int64))
+                    )
+                )
+                if jax.process_index() != 0:
+                    continue  # process 0 owns the writes
             if n_samples == 0:
                 if verbose:
                     print(f"[extract] {scam}: no surviving samples, skipping")

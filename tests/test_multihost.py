@@ -1,0 +1,127 @@
+"""Multi-host (DCN) bootstrap: 2 processes x 4 CPU devices each.
+
+Validates SURVEY §2.6's multi-host mapping end to end: jax.distributed
+bootstrap, per-process work-list sharding, local aggregation, one DCN psum
+of the ComA accumulators — the aggregate must match a single-process run
+over the full sample set.
+"""
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from coma_tpu.parallel.multihost import process_shard_worklist
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from coma_tpu.affordance.state import init_coma_state
+from coma_tpu.affordance.contact import contact_update_batch
+from coma_tpu.parallel.multihost import (
+    allreduce_state, process_shard_worklist)
+
+H, O, N = 16, 12, 50
+rng = np.random.default_rng(0)
+unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+B = 6
+hv = rng.normal(size=(B, H, 3)).astype(np.float32) * 0.2
+hn = unit(rng.normal(size=(B, H, 3))).astype(np.float32)
+ov = rng.normal(size=(B, O, 3)).astype(np.float32) * 0.2
+on = unit(rng.normal(size=(B, O, 3))).astype(np.float32)
+
+mine = process_shard_worklist(list(range(B)))
+state = init_coma_state(H, O, N, 0.07, 0.03, 0.25, eps=1e-10)
+if mine:
+    idx = np.asarray(mine)
+    state = jax.jit(contact_update_batch)(
+        state, jnp.asarray(hv[idx]), jnp.asarray(hn[idx]),
+        jnp.asarray(ov[idx]), jnp.asarray(on[idx]))
+state = allreduce_state(state)
+if jax.process_index() == 0:
+    np.savez(out,
+             ph=np.asarray(state.prob_grid_canon_human_wrt_obj),
+             nom=np.asarray(state.contact_dist_expectation_grid_nom),
+             grid=np.asarray(state.canon_normal_grid),
+             used=np.asarray(state.used_count))
+print(f"[p{pid}] done", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_process_shard_worklist_partition():
+    items = list(range(11))
+    shards = [process_shard_worklist(items, i, 3) for i in range(3)]
+    flat = [x for s in shards for x in s]
+    assert sorted(flat) == items  # disjoint and complete
+    assert all(len(s) <= len(items) // 3 + 1 for s in shards)
+
+
+@pytest.mark.slow
+def test_two_process_aggregate_matches_single(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    out = tmp_path / "agg.npz"
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert out.exists(), outs
+
+    # single-process oracle over the SAME samples
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.affordance.contact import contact_update_batch
+    from coma_tpu.affordance.state import init_coma_state
+
+    H, O, N = 16, 12, 50
+    rng = np.random.default_rng(0)
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    B = 6
+    hv = rng.normal(size=(B, H, 3)).astype(np.float32) * 0.2
+    hn = unit(rng.normal(size=(B, H, 3))).astype(np.float32)
+    ov = rng.normal(size=(B, O, 3)).astype(np.float32) * 0.2
+    on = unit(rng.normal(size=(B, O, 3))).astype(np.float32)
+    state = init_coma_state(H, O, N, 0.07, 0.03, 0.25, eps=1e-10)
+    state = jax.jit(contact_update_batch)(
+        state, jnp.asarray(hv), jnp.asarray(hn), jnp.asarray(ov), jnp.asarray(on)
+    )
+
+    got = np.load(out)
+    assert int(got["used"]) == B
+    np.testing.assert_allclose(
+        got["ph"], np.asarray(state.prob_grid_canon_human_wrt_obj),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        got["nom"], np.asarray(state.contact_dist_expectation_grid_nom), atol=1e-5, rtol=1e-5
+    )
+    # constant metadata leaves must NOT be summed across processes
+    np.testing.assert_allclose(got["grid"], np.asarray(state.canon_normal_grid))
