@@ -203,9 +203,20 @@ def build_pipeline(args):
             raise SystemExit("--person_segmenter pointrend needs --pointrend_weights")
         person_fn = make_pointrend_segment_fn(pr_model)
     else:
-        person_fn = lambda prm, imgs: (
-            jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
-        ).astype(jnp.float32)
+        from coma_tpu.cli.segment_human import default_segmenter_checkpoint
+        from coma_tpu.models.segmentation import make_person_segment_fn
+        from coma_tpu.utils.checkpoint import load_params as _load_seg
+
+        # prefer the committed trained checkpoint over the random init
+        _ckpt = default_segmenter_checkpoint()
+        if os.path.exists(_ckpt):
+            params["segmenter"] = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), _load_seg(_ckpt)
+            )
+        # scale-canonical inference: the checkpoint is trained at 128²; the
+        # pipeline runs at `res` — resize in, predict, resize out
+        _seg_fn = make_person_segment_fn(seg)
+        person_fn = lambda prm, imgs: _seg_fn(prm["segmenter"], imgs)
     if args.adaptive_mask_model_type == "p":
         segment_fn = person_fn
     elif args.adaptive_mask_model_type != "baseline":

@@ -41,16 +41,31 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def load_segmenter(params_path):
+def default_segmenter_checkpoint() -> str:
+    """The committed trained checkpoint (``cli/train_segmenter.py``)."""
+    import coma_tpu
+
+    return os.path.join(os.path.dirname(coma_tpu.__file__), "data", "person_segmenter.npz")
+
+
+def load_segmenter(params_path=None):
     import jax
     import jax.numpy as jnp
 
     from coma_tpu.models.segmentation import PersonSegmenter
+    from coma_tpu.utils.checkpoint import load_params
 
     model = PersonSegmenter()
+    if not params_path and os.path.exists(default_segmenter_checkpoint()):
+        params_path = default_segmenter_checkpoint()
     if params_path and os.path.exists(params_path):
-        with open(params_path, "rb") as fh:
-            params = pickle.load(fh)
+        if params_path.endswith(".npz"):
+            params = load_params(params_path)
+            # checkpoints are stored bf16; compute in f32
+            params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        else:
+            with open(params_path, "rb") as fh:
+                params = pickle.load(fh)
     else:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         if params_path:
@@ -63,7 +78,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
-    from coma_tpu.models.segmentation import connected_instances, probs_to_mask
+    from coma_tpu.models.segmentation import connected_instances
 
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
@@ -102,8 +117,13 @@ def main(argv=None) -> None:
         predictor = PointRendPersonSegmenter(load_params(args.segmenter_params))
         apply = None
     else:
+        from coma_tpu.models.segmentation import person_probs_canonical
+
         model, params = load_segmenter(args.segmenter_params)
-        apply = jax.jit(model.apply)
+        # scale-canonical: predict at the checkpoint's training resolution
+        apply = jax.jit(
+            lambda prm, imgs: person_probs_canonical(model, prm, imgs)
+        )
         predictor = None
 
     for i in range(0, len(work), args.batch_size):
@@ -115,9 +135,8 @@ def main(argv=None) -> None:
             per_image = [predictor(im) for im in imgs]
             masks = probs = None
         else:
-            logits = apply(params, jnp.asarray(imgs))
-            probs = np.asarray(jax.nn.sigmoid(logits))
-            masks = np.asarray(probs_to_mask(logits))
+            probs = np.asarray(apply(params, jnp.asarray(imgs)))
+            masks = (probs >= 0.5).astype(np.float32)
             per_image = None
         for j, (src, out) in enumerate(chunk):
             if per_image is not None:

@@ -67,16 +67,26 @@ def main(argv=None) -> None:
 
     threading.Thread(target=producer, daemon=True).start()
 
+    def save(params, path):
+        if args.bf16_store:
+            params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+        save_params(params, path)
+
     t0 = time.time()
     for i in range(args.steps):
         imgs, masks = q.get()
         state, loss = step_fn(state, jnp.asarray(imgs), jnp.asarray(masks))
+        # block every step: otherwise dispatch runs arbitrarily far ahead of
+        # the device and the queued transfer buffers leak host RAM
+        loss = float(loss)
         if (i + 1) % args.log_every == 0 or i == 0:
             print(
                 f"[train_segmenter] step {i+1}/{args.steps} "
-                f"loss {float(loss):.4f} ({time.time()-t0:.0f}s)",
+                f"loss {loss:.4f} ({time.time()-t0:.0f}s)",
                 flush=True,
             )
+        if (i + 1) % 1000 == 0:
+            save(state["params"], args.out)  # periodic checkpoint
 
     # held-out IoU on the eval stream (same seed as the quality-gate test)
     eval_rng = np.random.default_rng(args.eval_seed)

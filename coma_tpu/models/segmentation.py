@@ -74,6 +74,46 @@ def probs_to_mask(logits: jax.Array, threshold: float = 0.5) -> jax.Array:
     return (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
 
 
+def person_probs_canonical(
+    model: PersonSegmenter,
+    params,
+    images: jax.Array,          # (B, H, W, 3) float in [0, 1]
+    work_res: int = 128,
+) -> jax.Array:
+    """Person probabilities at the input resolution via the model's
+    TRAINING scale.
+
+    The committed checkpoint is trained at ``work_res``² (``cli/
+    train_segmenter.py``); an FCN's features are scale-sensitive, so
+    inference at other resolutions (the pipeline runs at 512²) must resize
+    to the canonical scale, predict, and upsample the probabilities —
+    the same normalize-then-predict shape detectron2's ResizeShortestEdge
+    gives the reference's PointRend (``segment_human.py:24``).
+    """
+    B, H, W, _ = images.shape
+    x = images
+    if (H, W) != (work_res, work_res):
+        x = jax.image.resize(x, (B, work_res, work_res, 3), "linear")
+    probs = jax.nn.sigmoid(model.apply(params, x))
+    if (H, W) != (work_res, work_res):
+        probs = jax.image.resize(probs, (B, H, W), "linear")
+    return probs
+
+
+def make_person_segment_fn(
+    model: PersonSegmenter, work_res: int = 128, threshold: float = 0.5
+):
+    """A jit-friendly ``(params, images) -> (B, H, W) float mask`` closure
+    for the adaptive-mask loop and the CLIs."""
+
+    def fn(params, images):
+        return (
+            person_probs_canonical(model, params, images, work_res) >= threshold
+        ).astype(jnp.float32)
+
+    return fn
+
+
 # ----------------------------------------------------------------------
 # Instance utilities (host-side, for the segment_human stage)
 # ----------------------------------------------------------------------
