@@ -5,20 +5,40 @@ validated on XLA's host platform with 8 virtual devices (the driver
 separately dry-run-compiles the multi-chip path via __graft_entry__).
 """
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The real-chip lane (tests/tpu) must NOT be pinned to CPU; it is excluded
+# from default collection below and run explicitly as `pytest tests/tpu`.
+_TPU_LANE = any("tests/tpu" in a or a.rstrip("/").endswith("tests/tpu") for a in sys.argv)
+collect_ignore = ["tpu"]
 
-# The image's sitecustomize imports jax at interpreter start (to register the
-# axon TPU plugin), which locks in JAX_PLATFORMS=axon before this conftest
-# runs — override through the config API instead.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # The image's sitecustomize imports jax at interpreter start (to register
+    # the axon TPU plugin), which locks in JAX_PLATFORMS=axon before this
+    # conftest runs — override through the config API instead.
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA compiles
+# of structurally-fixed graphs (UNet/pipeline scans). Caching them on disk
+# makes every run after the first fast. Opt out with JAX_NO_TEST_CACHE=1.
+if not os.environ.get("JAX_NO_TEST_CACHE"):
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
 
 import numpy as np
 import pytest

@@ -132,6 +132,7 @@ def test_derive_targets(rng):
     assert (corr_o < 6).all()
 
 
+@pytest.mark.slow
 def test_optimize_smpl_runs_and_descends(rng):
     model = random_model(num_verts=32)
     dec = VPoserDecoder()
@@ -164,6 +165,7 @@ def test_optimize_smpl_runs_and_descends(rng):
     assert all(np.isfinite(v) for v in result.losses.values())
 
 
+@pytest.mark.slow
 def test_optimize_cli(tmp_path, rng):
     """The application CLI end to end on synthetic inputs."""
     import json

@@ -92,6 +92,7 @@ def test_bbox_gate():
     np.testing.assert_array_equal(gate[0], [1.0, 0.0])
 
 
+@pytest.mark.slow
 def test_coap_occupancy_world_translation_invariance(rng):
     """Occupancy of (body+d, scene+d) must equal (body, scene): the rigid
     translation folds into the bone frames exactly."""
@@ -140,6 +141,7 @@ def test_coap_occupancy_world_translation_invariance(rng):
     np.testing.assert_allclose(np.asarray(occ0), np.asarray(occ1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_make_coap_collision_fn_in_depth_optimizer(rng):
     import jax
     import jax.numpy as jnp

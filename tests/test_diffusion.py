@@ -107,6 +107,7 @@ def test_dilate_mask_radius():
 
 # ------------------------------------------------------------ models ----
 
+@pytest.mark.slow
 def test_unet_shapes(rng):
     cfg = tiny_unet_config()
     model = UNet2DCondition(cfg)
@@ -119,6 +120,7 @@ def test_unet_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes(rng):
     cfg = tiny_vae_config()
     enc, dec = Encoder(cfg), Decoder(cfg)
@@ -184,6 +186,7 @@ def tiny_pipeline():
     return build, segment_fn, H
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(tiny_pipeline, rng):
     build, segment_fn, H = tiny_pipeline
     pipe = build(segment_fn)
@@ -198,6 +201,7 @@ def test_pipeline_end_to_end(tiny_pipeline, rng):
     assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_pipeline_baseline_differs_from_adaptive(tiny_pipeline, rng):
     build, segment_fn, H = tiny_pipeline
     init_image = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), dtype=jnp.float32)
@@ -211,6 +215,7 @@ def test_pipeline_baseline_differs_from_adaptive(tiny_pipeline, rng):
     assert np.abs(np.asarray(adaptive) - np.asarray(baseline)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_pipeline_deterministic_per_seed(tiny_pipeline, rng):
     build, segment_fn, H = tiny_pipeline
     pipe = build(segment_fn)
@@ -224,6 +229,7 @@ def test_pipeline_deterministic_per_seed(tiny_pipeline, rng):
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-5
 
 
+@pytest.mark.slow
 def test_pipeline_intermediates_and_video(tiny_pipeline, rng, tmp_path):
     """return_intermediates + the per-step mask/image GIF writer
     (the reference's visualize_video equivalent)."""

@@ -78,6 +78,7 @@ def test_process_bbox_aspect():
     assert abs(w / h - 384 / 512) < 1e-5
 
 
+@pytest.mark.slow
 def test_resnet_output_shapes(rng):
     x = jnp.zeros((1, 64, 48, 3))
     net = ResNet((2, 2, 2, 2), bottleneck=False)

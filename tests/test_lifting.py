@@ -237,6 +237,7 @@ def test_intersection_ratio_disjoint():
     assert ratio == 0.0
 
 
+@pytest.mark.slow
 def test_capsule_collision_aux_pushes_human_out(rng):
     """Batched collision backend: with scene points inside the body and no
     joint evidence, the optimizer should move the human along the ray until
@@ -292,6 +293,7 @@ def test_capsule_collision_aux_pushes_human_out(rng):
     assert float(fn(verts, {k: v[0] for k, v in aux_empty.items()})) == 0.0
 
 
+@pytest.mark.slow
 def test_coap_collision_aux_batched(rng):
     """Neural-COAP aux path: finite loss, nonzero grad, vmaps over B=2."""
     import jax

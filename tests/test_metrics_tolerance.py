@@ -59,6 +59,7 @@ def test_estimator_error_bound_res64(depth, off):
     assert abs(est - exact) < 0.008, (est, exact)
 
 
+@pytest.mark.slow
 def test_adaptive_decisions_match_oracle():
     """Accept/reject vs the 0.05 threshold agrees with the exact oracle for
     every case outside the inherent ±6% ambiguity band."""

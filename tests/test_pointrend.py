@@ -43,6 +43,7 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_roi_align_matches_torch_and_linear_ramp():
     rng = _seed_all()
     feat = rng.normal(size=(32, 48, 4)).astype(np.float32)
@@ -141,6 +142,7 @@ def flax_model():
                                                 box_candidates=100, max_detections=10))
 
 
+@pytest.mark.slow
 def test_backbone_fpn_parity(mirror_and_params, flax_model):
     m, variables = mirror_and_params
     rng = np.random.default_rng(1)
@@ -281,6 +283,7 @@ def test_merged_person_mask_fabricated_det():
     assert not mask[35, 70]  # invalid slot's box excluded
 
 
+@pytest.mark.slow
 def test_pointrend_segment_fn_smoke(mirror_and_params):
     """The batched in-scan segment_fn jits at a tiny test size and returns
     binary masks of the input resolution."""
@@ -299,6 +302,7 @@ def test_pointrend_segment_fn_smoke(mirror_and_params):
     assert set(np.unique(m)).issubset({0.0, 1.0})
 
 
+@pytest.mark.slow
 def test_person_segmenter_adapter(mirror_and_params):
     """Host adapter returns MaskModel-style instance dicts."""
     _, variables = mirror_and_params

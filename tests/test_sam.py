@@ -46,6 +46,7 @@ def tiny_sam():
     return cfg, model, variables
 
 
+@pytest.mark.slow
 def test_sam_forward_shapes(tiny_sam, rng):
     cfg, model, variables = tiny_sam
     img = jnp.asarray(rng.normal(size=(2, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
@@ -57,6 +58,7 @@ def test_sam_forward_shapes(tiny_sam, rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_sam_predict_box_end_to_end(tiny_sam, rng):
     cfg, model, variables = tiny_sam
     image = (rng.random((48, 32, 3)) * 255).astype(np.uint8)  # non-square
@@ -65,6 +67,7 @@ def test_sam_predict_box_end_to_end(tiny_sam, rng):
     assert set(np.unique(mask)) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_sam_as_box_model_in_predictor(tiny_sam, rng):
     """SAM plugs into the reference's 'ps' predictor dispatch."""
     from coma_tpu.models.mask_predictors import build_predictor
@@ -167,6 +170,7 @@ def _official_tiny_state_dict(cfg: SAMConfig, rng):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_sam_full_tree(rng):
     from coma_tpu.models.torch_weights_sam import convert_sam
 
@@ -219,6 +223,7 @@ def test_mask_to_bbox_traced():
     np.testing.assert_array_equal(empty, [0, 0, 11, 9])
 
 
+@pytest.mark.slow
 def test_sam_segment_fn_in_pipeline(tiny_sam, rng):
     """'ps' mode fully in-scan: tiny SAM as the pipeline's segment_fn."""
     from coma_tpu.models.diffusion.pipeline import (

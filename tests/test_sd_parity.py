@@ -44,6 +44,7 @@ def unet_pair():
     return mirror, UNet2DCondition(cfg), params
 
 
+@pytest.mark.slow
 def test_unet_forward_parity(unet_pair, rng):
     mirror, flax_model, params = unet_pair
     B, H = 2, 16
@@ -64,6 +65,7 @@ def test_unet_forward_parity(unet_pair, rng):
     np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet_timestep_sensitivity(unet_pair, rng):
     """The sinusoidal embedding convention (cos|sin flip) must match — an
     embedding order bug would still pass a single-timestep test by luck."""

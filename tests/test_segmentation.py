@@ -46,6 +46,7 @@ def box_fill_model(image, box):
 IMG = np.zeros((32, 32, 3), np.uint8)
 
 
+@pytest.mark.slow
 def test_segmenter_shapes(rng):
     model = PersonSegmenter()
     img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
@@ -136,6 +137,7 @@ def test_build_predictor_all_types(t):
     assert "mask" in out and "asset_mask" in out and "vis" in out
 
 
+@pytest.mark.slow
 def test_segmenter_training_learns_blobs(rng):
     """A few hundred steps on procedural person-blobs must reach IoU > 0.7
     (the segmenter is trainable, not just an architecture stub)."""
@@ -166,6 +168,7 @@ def test_segmenter_training_learns_blobs(rng):
     assert iou > 0.7, iou
 
 
+@pytest.mark.slow
 def test_segmenter_training_sharded_matches(rng):
     """The mesh-sharded train step computes the same update as single-device."""
     import optax

@@ -80,6 +80,7 @@ def up_sub(m, kind):
     return f"up_blocks.{k}.{kind}.{m.group(2)}"
 
 
+@pytest.mark.slow
 def test_unet_roundtrip(rng):
     cfg = tiny_unet_config()
     model = UNet2DCondition(cfg)
@@ -124,6 +125,7 @@ def vae_rename(which):
     return rename
 
 
+@pytest.mark.slow
 def test_vae_roundtrip(rng):
     cfg = tiny_vae_config()
     enc, dec = Encoder(cfg), Decoder(cfg)
@@ -201,6 +203,7 @@ def test_tokenizer_basic(tmp_path):
     assert decoded[0] == "a</w>"
 
 
+@pytest.mark.slow
 def test_clip_text_parity_vs_transformers(rng):
     """Converted weights through our CLIPTextEncoder must match the real
     torch CLIPTextModel (transformers) hidden states."""
