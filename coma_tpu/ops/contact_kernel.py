@@ -11,7 +11,8 @@ Why a kernel: at reference scale (H=10475, O=180, N=250) each sample touches
 cos/arccos/exp intermediates in HBM, making the update ~4x memory traffic;
 here the accumulator tile is read and written exactly ONCE per batch of S
 samples, with all S splats computed in VMEM — turning the op from
-HBM-bound into VPU(transcendental)-bound.
+HBM-bound into VPU-bound (measured: vreg-working-set bound, not
+transcendental — see docs/KERNELS.md v3).
 
 Layout: the (H, O) pairwise geometry (distances, canonicalized normal
 components) is cheap and stays in XLA where it fuses fine; the kernel
@@ -114,7 +115,7 @@ def fused_contact_update_batch(
     obj_verts: jax.Array,      # (B, O, 3)
     obj_normals: jax.Array,    # (B, O, 3)
     valid=None,
-    slab: int = 4,
+    slab: int = 8,
 ) -> ComAState:
     """Drop-in replacement for ``contact_update_batch`` with the splat fused.
 
@@ -228,6 +229,14 @@ def fused_contact_update_batch(
 # is a (1, TO) lane-row epilogue inside the kernel (<7% of the splat work),
 # and the kernel inputs collapse to the raw normals.
 
+def _pick_n_blocks(Np: int, target: int = 8) -> int:
+    """Largest block count ≤ target whose chunk stays sublane-aligned."""
+    for nb in range(target, 0, -1):
+        if Np % nb == 0 and (Np // nb) % 8 == 0:
+            return nb
+    return 1
+
+
 def _canon_splat_kernel(
     ox_ref, oy_ref, oz_ref,   # (S8, TO) object normal components (VMEM)
     hx_ref, hy_ref, hz_ref,   # (TH, S8) human normal components (SMEM)
@@ -237,9 +246,14 @@ def _canon_splat_kernel(
     ph_in, po_in, ph_out, po_out,   # aliased accumulators (TH, Np, TO)
     *, S: int, TH: int, sigma: float, eps: float, geo2_poly=None,
 ):
-    gx = g_ref[:, 0][:, None]
-    gy = g_ref[:, 1][:, None]
-    gz = g_ref[:, 2][:, None]
+    # Register-pressure blocking (v3): the (Np, TO) accumulator pair alone
+    # is ~128 vregs — holding both plus the splat temporaries live spills
+    # to VMEM every inner step, and the spill traffic (not ALU, not exp:
+    # deleting the exp measures 0% faster) bounds the kernel. Splatting the
+    # N axis in sublane-aligned chunks keeps the live set inside the vreg
+    # file: NB=8 × slab=8 measures 71 -> 98 samples/s at the qual config.
+    NB = _pick_n_blocks(g_ref.shape[0])
+    CH = g_ref.shape[0] // NB
     px, py, pz = pq_ref[0, 0], pq_ref[1, 0], pq_ref[2, 0]
     qx, qy, qz = pq_ref[3, 0], pq_ref[4, 0], pq_ref[5, 0]
     inv_s2 = 1.0 / (sigma * sigma)
@@ -252,8 +266,8 @@ def _canon_splat_kernel(
         return jnp.exp(-(geo * geo) * inv_s2)
 
     def h_body(h, _):
-        acc_h = ph_in[h]
-        acc_o = po_in[h]
+        # canon epilogue per (h, s) — N-independent, computed once per pair
+        canon_rows = []
         for s in range(S):
             v = v_ref[s, 0]
             # --- normalized inputs (matches canonicalize_pairwise's
@@ -306,11 +320,21 @@ def _canon_splat_kernel(
                      2.0 * o_dot_q * qz - oz)
             cxo, cyo, czo = canon(a_dot_w2, w2, inv2, sing2, h_dot_p,
                                   (ox, oy, oz), o_dot_p, (hx, hy, hz), flip2)
+            canon_rows.append((v, (cxh, cyh, czh), (cxo, cyo, czo)))
 
-            acc_h = acc_h + v * gauss(gx * cxh + gy * cyh + gz * czh)
-            acc_o = acc_o + v * gauss(gx * cxo + gy * cyo + gz * czo)
-        ph_out[h] = acc_h
-        po_out[h] = acc_o
+        for nb in range(NB):
+            lo, hi = nb * CH, (nb + 1) * CH
+            gx = g_ref[lo:hi, 0][:, None]
+            gy = g_ref[lo:hi, 1][:, None]
+            gz = g_ref[lo:hi, 2][:, None]
+            acc_h = ph_in[h, lo:hi]
+            acc_o = po_in[h, lo:hi]
+            for s in range(S):
+                v, (cxh, cyh, czh), (cxo, cyo, czo) = canon_rows[s]
+                acc_h = acc_h + v * gauss(gx * cxh + gy * cyh + gz * czh)
+                acc_o = acc_o + v * gauss(gx * cxo + gy * cyo + gz * czo)
+            ph_out[h, lo:hi] = acc_h
+            po_out[h, lo:hi] = acc_o
         return 0
 
     jax.lax.fori_loop(0, TH, h_body, 0)
