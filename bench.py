@@ -71,6 +71,32 @@ def bench_coma_tpu() -> float:
     return TPU_ITERS / dt
 
 
+def bench_occupancy_tpu() -> float:
+    """Occupancy-voxel aggregation at reference scale (H=10475, 30³ grid,
+    ``constants/coma/qual.py`` occupancy config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from coma_tpu.affordance.state import init_occupancy_state
+    from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
+
+    state = init_occupancy_state(H, O, spatial_res=30, scale_tolerance=1.5)
+    rng = np.random.default_rng(0)
+    hv = jnp.asarray(rng.normal(size=(TPU_ITERS, H, 3)) * 0.3, jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(TPU_ITERS, O, 3)) * 0.3, jnp.float32)
+    step = jax.jit(fused_occupancy_update_batch)
+    out = step(state, hv, ov)
+    del state
+    float(out.used_count)
+    t0 = time.perf_counter()
+    out2 = step(out, hv, ov)
+    del out
+    float(out2.used_count)
+    dt = time.perf_counter() - t0
+    del out2
+    return TPU_ITERS / dt
+
+
 def bench_coma_torch_cpu() -> float:
     """Reference-style torch update on host CPU (the measurable baseline)."""
     import torch
@@ -187,12 +213,19 @@ def bench_inpaint():
     emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
     neg = jnp.zeros_like(emb)
 
+    # NOTE: on the tunneled backend block_until_ready() can ack before the
+    # device finishes; fetching a value is the only reliable completion
+    # barrier, so every timed region ends with a scalar fetch.
+    fetch = lambda x: float(jnp.sum(x))
+
     gen = jax.jit(pipe.generate_p)
-    gen(params, jax.random.PRNGKey(1), img, mask, emb, neg).block_until_ready()
+    fetch(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg))
     t0 = time.perf_counter()
     iters = 2
+    tot = jnp.zeros(())
     for i in range(iters):
-        gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg).block_until_ready()
+        tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
+    float(tot)
     imgs_per_sec = BATCH * iters / (time.perf_counter() - t0)
 
     # isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU
@@ -210,12 +243,13 @@ def bench_inpaint():
     if not flops or not np.isfinite(flops):
         # analytic fallback: SD-1.x UNet ≈ 677 GMACs per 512² image
         flops = 677e9 * 2 * 2 * BATCH
-    compiled(params, lat_in, t_in, ctx).block_until_ready()
+    fetch(compiled(params, lat_in, t_in, ctx))
     t0 = time.perf_counter()
     n = 10
+    tot = jnp.zeros(())
     for _ in range(n):
-        out = compiled(params, lat_in, t_in, ctx)
-    out.block_until_ready()
+        tot = tot + jnp.sum(compiled(params, lat_in, t_in, ctx))
+    float(tot)
     step_s = (time.perf_counter() - t0) / n
     mfu = flops / step_s / V5E_BF16_PEAK
     return imgs_per_sec, step_s, mfu
@@ -266,6 +300,7 @@ def main():
         inpaint_base = None
 
     coma_tpu_sps = bench_coma_tpu()
+    occupancy_sps = bench_occupancy_tpu()
     try:
         coma_base = bench_coma_torch_cpu()
     except Exception:
@@ -284,6 +319,7 @@ def main():
                     "unet_cfg_step_ms": round(unet_step_s * 1e3, 2),
                     "unet_step_mfu": round(mfu, 4),
                     "coma_contact_aggregation_samples_per_sec": round(coma_tpu_sps, 3),
+                    "coma_occupancy_aggregation_samples_per_sec": round(occupancy_sps, 3),
                     "coma_vs_torch_cpu": (
                         round(coma_tpu_sps / coma_base, 2) if coma_base else None
                     ),

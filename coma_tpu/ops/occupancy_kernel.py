@@ -46,25 +46,32 @@ def _occupancy_kernel(
     g_ref,                              # (8, Lp): rows 0-2 voxel xyz, row 3 ||g||²
     v_ref,                              # (S, 1) SMEM validity
     acc_in, acc_out,                    # aliased (TH, Lp)
-    *, S: int, TH: int, thres_sq: float,
+    *, S: int, TH: int, thres_sq: float, lane_chunk: int = 4096,
 ):
-    gx = g_ref[0, :][None, :]
-    gy = g_ref[1, :][None, :]
-    gz = g_ref[2, :][None, :]
-    gsq = g_ref[3, :][None, :]
-
-    acc = acc_in[...]
-    for s in range(S):                  # static unroll (small slab)
-        v = v_ref[s, 0]
-        # d² = ||g||² - 2 g·x + ||x||²  (per (h, voxel) outer broadcast)
-        cross = (
-            hx_ref[:, s][:, None] * gx
-            + hy_ref[:, s][:, None] * gy
-            + hz_ref[:, s][:, None] * gz
-        )
-        d_sq = gsq - 2.0 * cross + xsq_ref[:, s][:, None]
-        acc = acc + v * (d_sq < thres_sq).astype(acc.dtype)
-    acc_out[...] = acc
+    # Lane-axis register blocking (same finding as the contact kernel's v3,
+    # docs/KERNELS.md): the full (TH, Lp=27008) accumulator block is ~211
+    # vregs — loading it whole spills every step. Walk lane chunks so one
+    # (TH, CH) block plus its temporaries stays inside the vreg file.
+    Lp = g_ref.shape[1]
+    CH = min(lane_chunk, Lp)
+    for lb in range(Lp // CH):
+        lo, hi = lb * CH, (lb + 1) * CH
+        gx = g_ref[0, lo:hi][None, :]
+        gy = g_ref[1, lo:hi][None, :]
+        gz = g_ref[2, lo:hi][None, :]
+        gsq = g_ref[3, lo:hi][None, :]
+        acc = acc_in[:, lo:hi]
+        for s in range(S):              # static unroll (small slab)
+            v = v_ref[s, 0]
+            # d² = ||g||² - 2 g·x + ||x||²  (per (h, voxel) outer broadcast)
+            cross = (
+                hx_ref[:, s][:, None] * gx
+                + hy_ref[:, s][:, None] * gy
+                + hz_ref[:, s][:, None] * gz
+            )
+            d_sq = gsq - 2.0 * cross + xsq_ref[:, s][:, None]
+            acc = acc + v * (d_sq < thres_sq).astype(acc.dtype)
+        acc_out[:, lo:hi] = acc
 
 
 def occupancy_accumulate_padded(
@@ -80,6 +87,7 @@ def occupancy_accumulate_padded(
     L = grid_flat.shape[1]
     Hp, Lp = acc_p.shape
     assert Hp % tile_h == 0 and Lp % 128 == 0
+    assert Lp <= 4096 or Lp % 4096 == 0, "pad L to a 4096 lane-chunk multiple"
 
     S8 = _round_up(S, 8)
     relayout = lambda x: jnp.pad(jnp.swapaxes(x, 0, 1), ((0, Hp - H), (0, S8 - S)))
@@ -146,6 +154,8 @@ def fused_occupancy_update_batch(
     L = R * R * R
     tile_h = 8
     Hp, Lp = _round_up(H, tile_h), _round_up(L, 128)
+    if Lp > 4096:
+        Lp = _round_up(Lp, 4096)   # lane-chunk blocking (see _occupancy_kernel)
     flat = state.spatial_occupancy_grids.reshape(H, L)
     acc_p = jnp.pad(flat, ((0, Hp - H), (0, Lp - L)))
     grid_flat = state.spatial_grid.reshape(3, L)
