@@ -168,7 +168,7 @@ def _build_pipeline():
 
     ucfg = UNetConfig(dtype=jnp.bfloat16)
     unet = UNet2DCondition(ucfg)
-    vcfg = VAEConfig()
+    vcfg = VAEConfig(dtype=jnp.bfloat16)
     enc, dec = Encoder(vcfg), Decoder(vcfg)
     seg = PersonSegmenter()
 
@@ -193,8 +193,12 @@ def _build_pipeline():
     ).astype(jnp.float32)
     pipe = AdaptiveMaskInpaintPipeline(
         unet_fn=unet_fn,
-        vae_encode_fn=lambda prm, img: enc.apply(prm["vae_encoder"], img),
-        vae_decode_fn=lambda prm, lat: dec.apply(prm["vae_decoder"], lat),
+        vae_encode_fn=lambda prm, img: enc.apply(
+            prm["vae_encoder"], img.astype(vcfg.dtype)
+        ).astype(jnp.float32),
+        vae_decode_fn=lambda prm, lat: dec.apply(
+            prm["vae_decoder"], lat.astype(vcfg.dtype)
+        ).astype(jnp.float32),
         segment_fn=person_fn,
         config=AdaptiveMaskConfig(num_inference_steps=STEPS),
     )

@@ -149,7 +149,7 @@ def build_pipeline(args):
     h = res // 8
     ucfg = tiny_unet_config() if args.tiny else UNetConfig(dtype=jnp.bfloat16)
     unet = UNet2DCondition(ucfg)
-    vcfg = tiny_vae_config() if args.tiny else VAEConfig()
+    vcfg = tiny_vae_config() if args.tiny else VAEConfig(dtype=jnp.bfloat16)
     enc, dec = Encoder(vcfg), Decoder(vcfg)
     clip = CLIPTextEncoder(tiny_clip_config()) if args.tiny else CLIPTextEncoder()
     seg = PersonSegmenter()
@@ -261,8 +261,12 @@ def build_pipeline(args):
         unet_fn=lambda prm, lat, t, ctx: unet.apply(
             prm["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
         ).astype(jnp.float32),
-        vae_encode_fn=lambda prm, img: enc.apply(prm["vae_encoder"], img),
-        vae_decode_fn=lambda prm, lat: dec.apply(prm["vae_decoder"], lat),
+        vae_encode_fn=lambda prm, img: enc.apply(
+            prm["vae_encoder"], img.astype(vcfg.dtype)
+        ).astype(jnp.float32),
+        vae_decode_fn=lambda prm, lat: dec.apply(
+            prm["vae_decoder"], lat.astype(vcfg.dtype)
+        ).astype(jnp.float32),
         segment_fn=segment_fn,
         config=AdaptiveMaskConfig(
             num_inference_steps=args.default_ddim_steps,
