@@ -200,7 +200,7 @@ def _build_pipeline():
             prm["vae_decoder"], lat.astype(vcfg.dtype)
         ).astype(jnp.float32),
         segment_fn=person_fn,
-        config=AdaptiveMaskConfig(num_inference_steps=STEPS),
+        config=AdaptiveMaskConfig(num_inference_steps=STEPS, provoke_decode_factor=2),
     )
     return pipe, params, unet_fn, ucfg
 
@@ -322,6 +322,14 @@ def main():
                 "extra": {
                     "unet_cfg_step_ms": round(unet_step_s * 1e3, 2),
                     "unet_step_mfu": round(mfu, 4),
+                    # BASELINE.md north-star #3: BEHAVE-backpack 2D-stage
+                    # category wall-clock. Workload shape from the reference
+                    # configs (constants/generation/{assets,prompts}.py):
+                    # 4 views x 10 perturbs x 1 valid mask x (3 prompts x 2
+                    # viewpoint augs) x 10 seeds = 2400 images.
+                    "behave_backpack_2d_category_wallclock_min_per_chip": round(
+                        2400 / imgs_per_sec / 60.0, 1
+                    ),
                     "coma_contact_aggregation_samples_per_sec": round(coma_tpu_sps, 3),
                     "coma_occupancy_aggregation_samples_per_sec": round(occupancy_sps, 3),
                     "coma_vs_torch_cpu": (

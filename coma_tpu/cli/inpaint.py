@@ -272,6 +272,10 @@ def build_pipeline(args):
             num_inference_steps=args.default_ddim_steps,
             guidance_scale=args.guidance_scale,
             use_adaptive_mask=args.adaptive_mask_model_type != "baseline",
+            # the plain person-segmenter canonicalizes its input scale, so
+            # half-res provoke decodes keep mask fidelity and cut the 21
+            # in-loop VAE decodes ~4x; SAM modes keep full-res detail
+            provoke_decode_factor=2 if args.adaptive_mask_model_type == "p" else 1,
         ),
     )
 

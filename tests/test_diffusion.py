@@ -1,5 +1,7 @@
 """Tests for the Flax SD stack: DDIM oracle, UNet/VAE/CLIP shapes, and the
 full adaptive-mask pipeline on tiny configs."""
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -259,3 +261,28 @@ def test_pipeline_intermediates_and_video(tiny_pipeline, rng, tmp_path):
     )
     assert frames.shape == (5, H, 2 * H, 3)
     assert os.path.getsize(gif) > 0
+
+
+@pytest.mark.slow
+def test_pipeline_provoke_decode_factor(tiny_pipeline, rng):
+    """f=2 provoke decodes: valid output, in range, and the adaptive path
+    still differs from baseline (the mask machinery remains live)."""
+    build, segment_fn, H = tiny_pipeline
+    pipe = build(segment_fn)
+    pipe2 = AdaptiveMaskInpaintPipeline(
+        unet_fn=pipe.unet_fn,
+        vae_encode_fn=pipe.vae_encode_fn,
+        vae_decode_fn=pipe.vae_decode_fn,
+        segment_fn=pipe.segment_fn,
+        config=dataclasses.replace(pipe.config, provoke_decode_factor=2),
+    )
+    init_image = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), dtype=jnp.float32)
+    mask = jnp.ones((1, H, H))
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 32)), dtype=jnp.float32)
+    neg = jnp.zeros_like(ctx)
+    out = pipe2.generate(jax.random.PRNGKey(3), init_image, mask, ctx, neg)
+    o = np.asarray(out)
+    assert o.shape == (1, H, H, 3)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
+    base = build(None).generate(jax.random.PRNGKey(3), init_image, mask, ctx, neg)
+    assert np.abs(o - np.asarray(base)).max() > 1e-4
