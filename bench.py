@@ -154,7 +154,7 @@ def _fibonacci(n):
 RES, LAT, BATCH, STEPS = 512, 64, 8, 50
 
 
-def _build_pipeline():
+def _build_pipeline(provoke_decode_factor: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -200,37 +200,44 @@ def _build_pipeline():
             prm["vae_decoder"], lat.astype(vcfg.dtype)
         ).astype(jnp.float32),
         segment_fn=person_fn,
-        config=AdaptiveMaskConfig(num_inference_steps=STEPS, provoke_decode_factor=2),
+        config=AdaptiveMaskConfig(
+            num_inference_steps=STEPS,
+            provoke_decode_factor=provoke_decode_factor,
+        ),
     )
     return pipe, params, unet_fn, ucfg
 
 
 def bench_inpaint():
-    """Returns (images/sec/chip, unet CFG-step seconds, measured MFU)."""
+    """Returns (images/sec/chip, fast-mode images/sec, unet CFG-step
+    seconds, measured MFU). The primary figure is the reference-exact
+    pipeline (provoke_decode_factor=1); fast mode (f=2, half-res provoke
+    decodes, `--provoke_decode_factor 2`) is reported alongside."""
     import jax
     import jax.numpy as jnp
-
-    pipe, params, unet_fn, ucfg = _build_pipeline()
-
-    img = jnp.zeros((BATCH, RES, RES, 3))
-    mask = jnp.ones((BATCH, RES, RES))
-    emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
-    neg = jnp.zeros_like(emb)
 
     # NOTE: on the tunneled backend block_until_ready() can ack before the
     # device finishes; fetching a value is the only reliable completion
     # barrier, so every timed region ends with a scalar fetch.
     fetch = lambda x: float(jnp.sum(x))
 
-    gen = jax.jit(pipe.generate_p)
-    fetch(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg))
-    t0 = time.perf_counter()
-    iters = 2
-    tot = jnp.zeros(())
-    for i in range(iters):
-        tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
-    float(tot)
-    imgs_per_sec = BATCH * iters / (time.perf_counter() - t0)
+    rates = {}
+    for f in (1, 2):
+        pipe, params, unet_fn, ucfg = _build_pipeline(provoke_decode_factor=f)
+        img = jnp.zeros((BATCH, RES, RES, 3))
+        mask = jnp.ones((BATCH, RES, RES))
+        emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
+        neg = jnp.zeros_like(emb)
+        gen = jax.jit(pipe.generate_p)
+        fetch(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg))
+        t0 = time.perf_counter()
+        iters = 2
+        tot = jnp.zeros(())
+        for i in range(iters):
+            tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
+        float(tot)
+        rates[f] = BATCH * iters / (time.perf_counter() - t0)
+    imgs_per_sec, imgs_per_sec_fast = rates[1], rates[2]
 
     # isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU
     lat_in = jnp.zeros((2 * BATCH, LAT, LAT, 9), jnp.float32)
@@ -256,7 +263,7 @@ def bench_inpaint():
     float(tot)
     step_s = (time.perf_counter() - t0) / n
     mfu = flops / step_s / V5E_BF16_PEAK
-    return imgs_per_sec, step_s, mfu
+    return imgs_per_sec, imgs_per_sec_fast, step_s, mfu
 
 
 def bench_inpaint_torch_cpu() -> float:
@@ -297,7 +304,7 @@ def main():
 
     enable_compilation_cache()
 
-    imgs_per_sec, unet_step_s, mfu = bench_inpaint()
+    imgs_per_sec, imgs_per_sec_fast, unet_step_s, mfu = bench_inpaint()
     try:
         inpaint_base = bench_inpaint_torch_cpu()
     except Exception:
@@ -320,6 +327,7 @@ def main():
                     round(imgs_per_sec / inpaint_base, 2) if inpaint_base else None
                 ),
                 "extra": {
+                    "hoi_2d_images_per_sec_fast_mode": round(imgs_per_sec_fast, 4),
                     "unet_cfg_step_ms": round(unet_step_s * 1e3, 2),
                     "unet_step_mfu": round(mfu, 4),
                     # BASELINE.md north-star #3: BEHAVE-backpack 2D-stage

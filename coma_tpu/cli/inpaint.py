@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--random_weights", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs at 64x64 (hermetic smoke runs)")
+    parser.add_argument("--provoke_decode_factor", type=int, default=1,
+                        help="decode in-loop x-hat-0 at 1/f resolution (f=1 is "
+                             "reference-exact; f=2 is ~24%% faster and keeps "
+                             "mask fidelity with the scale-canonical segmenter)")
     parser.add_argument("--default_ddim_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
@@ -272,10 +276,7 @@ def build_pipeline(args):
             num_inference_steps=args.default_ddim_steps,
             guidance_scale=args.guidance_scale,
             use_adaptive_mask=args.adaptive_mask_model_type != "baseline",
-            # the plain person-segmenter canonicalizes its input scale, so
-            # half-res provoke decodes keep mask fidelity and cut the 21
-            # in-loop VAE decodes ~4x; SAM modes keep full-res detail
-            provoke_decode_factor=2 if args.adaptive_mask_model_type == "p" else 1,
+            provoke_decode_factor=args.provoke_decode_factor,
         ),
     )
 
