@@ -5,7 +5,8 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}:
 - metric/value:   2D-HOI images/sec/chip — the flagship: the FULL adaptive-
   mask inpainting pipeline (512², 50 DDIM steps, CFG, bf16 UNet, 21 in-loop
   segment + VAE decode/encode rounds, one lax.scan) at the CLI's default
-  batch 8. Reference workload: ``src/generation/inpaint.py:367,120,127`` +
+  batch 16 (measured sweet spot: b8 0.70, b16 0.85, b32 0.84 img/s in fast
+  mode). Reference workload: ``src/generation/inpaint.py:367,120,127`` +
   ``utils/adaptive_mask_inpainting.py:732-1109``.
 - vs_baseline:    measured on this host — a torch-CPU mirror of the same
   dominant work (50 CFG UNet steps + 21 x̂₀ VAE decodes per image; mirrors
@@ -151,7 +152,7 @@ def _fibonacci(n):
 
 # ----------------------------------------------------- flagship: 2D HOI
 
-RES, LAT, BATCH, STEPS = 512, 64, 8, 50
+RES, LAT, BATCH, STEPS = 512, 64, 16, 50
 
 
 def _build_pipeline(provoke_decode_factor: int = 1):
@@ -322,7 +323,7 @@ def main():
             {
                 "metric": "hoi_2d_images_per_sec_per_chip",
                 "value": round(imgs_per_sec, 4),
-                "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, batch 8)",
+                "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
                 "vs_baseline": (
                     round(imgs_per_sec / inpaint_base, 2) if inpaint_base else None
                 ),
