@@ -48,15 +48,20 @@ def make_samples(b):
     )
 
 
-def bench_coma_tpu() -> float:
+def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS) -> float:
     import jax
     import jax.numpy as jnp
 
     from coma_tpu.affordance.state import init_coma_state
     from coma_tpu.ops.contact_kernel import fused_contact_update_batch
 
-    state = init_coma_state(H, O, N, GRID_SIZE, THRES, SIGMA, eps=EPS)
-    hv, hn, ov, on = (jnp.asarray(x) for x in make_samples(TPU_ITERS))
+    rng = np.random.default_rng(0)
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    hv = jnp.asarray(rng.normal(size=(iters, h, 3)) * 0.3, jnp.float32)
+    hn = jnp.asarray(unit(rng.normal(size=(iters, h, 3))), jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(iters, o, 3)) * 0.3, jnp.float32)
+    on = jnp.asarray(unit(rng.normal(size=(iters, o, 3))), jnp.float32)
+    state = init_coma_state(h, o, N, GRID_SIZE, THRES, SIGMA, eps=EPS)
     step = jax.jit(fused_contact_update_batch)
 
     out = step(state, hv, hn, ov, on)
@@ -69,7 +74,7 @@ def bench_coma_tpu() -> float:
     float(out2.used_count)
     dt = time.perf_counter() - t0
     del out2
-    return TPU_ITERS / dt
+    return iters / dt
 
 
 def bench_occupancy_tpu() -> float:
@@ -312,6 +317,9 @@ def main():
         inpaint_base = None
 
     coma_tpu_sps = bench_coma_tpu()
+    # the other two production grid shapes (constants/coma/{qual,quant}.py)
+    coma_objcontact_sps = bench_coma_tpu(h=1000, o=1500, iters=16)
+    coma_quantfull_sps = bench_coma_tpu(h=750, o=2048, iters=16)
     occupancy_sps = bench_occupancy_tpu()
     try:
         coma_base = bench_coma_torch_cpu()
@@ -340,6 +348,8 @@ def main():
                         2400 / imgs_per_sec / 60.0, 1
                     ),
                     "coma_contact_aggregation_samples_per_sec": round(coma_tpu_sps, 3),
+                    "coma_object_contact_samples_per_sec": round(coma_objcontact_sps, 3),
+                    "coma_quant_full_samples_per_sec": round(coma_quantfull_sps, 3),
                     "coma_occupancy_aggregation_samples_per_sec": round(occupancy_sps, 3),
                     "coma_vs_torch_cpu": (
                         round(coma_tpu_sps / coma_base, 2) if coma_base else None
