@@ -9,12 +9,22 @@ used, for multi-host launches without jax.distributed.
 from __future__ import annotations
 
 import argparse
+import os
 import random
 from typing import List, Optional
 
 import numpy as np
 
 from coma_tpu.config.metadata import DEFAULT_SEED
+
+# Platform escape hatch for every CLI: the axon image's sitecustomize
+# force-sets jax.config.jax_platforms='axon,cpu' at interpreter start, so the
+# standard JAX_PLATFORMS env var CANNOT select CPU — only the config API can.
+# COMA_PLATFORM=cpu gives hermetic/functional CLI runs off-TPU.
+if os.environ.get("COMA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["COMA_PLATFORM"])
 
 
 def seed_everything(seed: int = DEFAULT_SEED) -> None:

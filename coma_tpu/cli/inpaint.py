@@ -211,9 +211,10 @@ def build_pipeline(args):
         from coma_tpu.models.segmentation import make_person_segment_fn
         from coma_tpu.utils.checkpoint import load_params as _load_seg
 
-        # prefer the committed trained checkpoint over the random init
+        # prefer the committed trained checkpoint over the random init —
+        # unless --random_weights asked for a hermetic run on purpose
         _ckpt = default_segmenter_checkpoint()
-        if os.path.exists(_ckpt):
+        if not args.random_weights and os.path.exists(_ckpt):
             params["segmenter"] = jax.tree.map(
                 lambda x: jnp.asarray(x, jnp.float32), _load_seg(_ckpt)
             )

@@ -246,10 +246,13 @@ def discover_assets(
             taxonomy = json.load(fh)
         for entry in taxonomy:
             category, synset = entry["name"], entry["synsetId"]
-            for d in sorted(
-                _glob.glob(f"{dataset_dir}/{synset}/*/*")
+            for obj in sorted(
+                # one entry PER MODEL: glob the canonical obj, not the model
+                # dir's contents (models/, images/, *.json would each emit a
+                # duplicate render job)
+                _glob.glob(f"{dataset_dir}/{synset}/*/models/model_normalized.obj")
             ):  # texture-bearing models only (reference ``:570``)
-                model_id = d.split("/")[-2]
+                model_id = obj.split("/")[-3]
                 out.append(
                     (
                         category,

@@ -147,7 +147,8 @@ def load_obj_textured(path: str, tex_size: int = 256) -> TexturedMesh:
                 )
                 mtl_layers.update(_parse_mtl(mtl_pth, tex_size))
             elif line.startswith("usemtl"):
-                name = line.split(None, 1)[1].strip() if " " in line.strip() else ""
+                _parts = line.split(None, 1)  # any whitespace (tabs are valid OBJ)
+                name = _parts[1].strip() if len(_parts) > 1 else ""
                 if name not in mat_index:
                     mat_index[name] = len(layers)
                     layers.append(

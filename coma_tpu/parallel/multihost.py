@@ -32,6 +32,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def _distributed_client_active() -> bool:
+    """Whether ``jax.distributed.initialize`` has already run — checked via
+    the distributed client handle, NOT via ``jax.process_count()``: the
+    latter initializes the XLA backend, after which ``initialize()`` raises
+    ``RuntimeError`` (must be called before any backend-touching JAX call)."""
+    try:
+        from jax._src import distributed as _distributed
+
+        return _distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -39,8 +52,8 @@ def initialize(
 ) -> None:
     """``jax.distributed.initialize`` with env fallbacks; no-op when already
     initialized or when running single-process with no configuration."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    if _distributed_client_active():
+        return  # already initialized (e.g. caller bootstrapped directly)
     coordinator_address = coordinator_address or os.environ.get("COMA_COORDINATOR")
     if num_processes is None and "COMA_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["COMA_NUM_PROCESSES"])
@@ -48,10 +61,13 @@ def initialize(
         process_id = int(os.environ["COMA_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         # TPU pods autodetect via the cluster environment; bare single-host
-        # runs stay single-process
+        # runs (no recognized cluster env -> ValueError) stay single-process.
+        # Anything else (e.g. RuntimeError: backend already initialized)
+        # must propagate: swallowing it would let every process think it is
+        # process 0 and aggregate the full work list.
         try:
             jax.distributed.initialize()
-        except Exception:
+        except ValueError:
             return
         return
     jax.distributed.initialize(

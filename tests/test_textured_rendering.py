@@ -70,6 +70,19 @@ def test_load_obj_textured_kd_only(tmp_path):
     assert (m.face_uvs == -1).all()  # no UVs present
 
 
+def test_load_obj_textured_tab_separated_usemtl(tmp_path):
+    """``usemtl\\tname`` is valid OBJ — the material must still bind
+    (advisor r2: space-only detection silently fell back to default grey)."""
+    _write(str(tmp_path / "m.mtl"), "newmtl green\nKd 0.1 0.9 0.2\n")
+    _write(
+        str(tmp_path / "a.obj"),
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl\tgreen\nf 1 2 3\n",
+    )
+    m = load_obj_textured(str(tmp_path / "a.obj"))
+    assert (m.face_material == 1).all()
+    np.testing.assert_allclose(m.textures[1, 3, 3], [0.1, 0.9, 0.2], atol=1e-6)
+
+
 def test_render_textured_quad(textured_quad):
     import jax.numpy as jnp
 
@@ -151,6 +164,11 @@ def test_discover_shapenet(tmp_path):
            json.dumps([{"name": "motorcycle,bike", "synsetId": "03790512"}]))
     os.makedirs(root / "03790512" / "model_x" / "models")
     _write(str(root / "03790512" / "model_x" / "models" / "model_normalized.obj"), "")
+    # real ShapeNet model dirs hold several entries — none may cause a
+    # duplicate render job (advisor r2: each entry used to emit one)
+    os.makedirs(root / "03790512" / "model_x" / "images")
+    os.makedirs(root / "03790512" / "model_x" / "screenshots")
+    _write(str(root / "03790512" / "model_x" / "model.json"), "{}")
     found = discover_assets(
         "SHAPENET", {"SHAPENET": str(root)}, restrict_to_whitelist=False
     )
