@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
     parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="shard each image batch over a data mesh of N "
+                             "local devices ('all' = every device). The full "
+                             "adaptive-mask scan partitions with zero "
+                             "collectives — the in-program successor of the "
+                             "reference's one-process-per-GPU inpaint.sh fan-out")
     parser.add_argument("--save_step_video", action="store_true",
                         help="write a per-step mask/x0 GIF next to each batch's "
                              "first image (the reference's use_visualizer)")
@@ -313,9 +319,23 @@ def main(argv=None) -> None:
     pipe, run_params, encode_prompts, res = build_pipeline(args)
     import functools
 
-    generate = jax.jit(functools.partial(
-        pipe.generate_p, return_intermediates=args.save_step_video
-    ))
+    from coma_tpu.parallel.flagship import (
+        data_parallel_generate,
+        pad_ragged_batch,
+        resolve_mesh,
+    )
+
+    mesh = resolve_mesh(args.mesh)
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        generate = data_parallel_generate(
+            pipe, mesh, return_intermediates=args.save_step_video
+        )
+    else:
+        n_dev = 1
+        generate = jax.jit(functools.partial(
+            pipe.generate_p, return_intermediates=args.save_step_video
+        ))
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
@@ -334,6 +354,12 @@ def main(argv=None) -> None:
         # per-image generator seed = inpaint_id (reference :308-309), folded
         # with the global seed
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
+        B_real = len(chunk)
+        imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+        if n_dev > 1:
+            (imgs, masks, ctx, neg), B_real = pad_ragged_batch(
+                [imgs, masks, ctx, neg], n_dev
+            )
         if args.save_step_video:
             out, inter = generate(
                 run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg,
@@ -348,7 +374,7 @@ def main(argv=None) -> None:
             )
         else:
             out = generate(run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
-        out_np = (np.asarray(out) * 255).astype(np.uint8)
+        out_np = (np.asarray(out)[:B_real] * 255).astype(np.uint8)
         for w, img in zip(chunk, out_np):
             os.makedirs(os.path.dirname(w["out"]), exist_ok=True)
             Image.fromarray(img).save(w["out"])

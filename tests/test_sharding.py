@@ -86,3 +86,80 @@ def test_sharded_with_explicit_valid_mask(rng):
         np.asarray(joint.prob_grid_canon_human_wrt_obj),
         rtol=1e-4, atol=1e-6,
     )
+
+
+# ------------------------------------------------- flagship dp-sharding ----
+
+
+def _tiny_flagship():
+    """Tiny adaptive-mask pipeline with params-threading (generate_p)."""
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskConfig,
+        AdaptiveMaskInpaintPipeline,
+    )
+    from coma_tpu.models.diffusion.unet import UNet2DCondition, tiny_unet_config
+    from coma_tpu.models.diffusion.vae import Decoder, Encoder, tiny_vae_config
+
+    ucfg, vcfg = tiny_unet_config(), tiny_vae_config()
+    unet = UNet2DCondition(ucfg)
+    enc, dec = Encoder(vcfg), Decoder(vcfg)
+    R = 64
+    k = jax.random.PRNGKey(0)
+    params = dict(
+        unet=unet.init(k, jnp.zeros((1, 8, 8, 9)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim))),
+        vae_encoder=enc.init(k, jnp.zeros((1, R, R, 3))),
+        vae_decoder=dec.init(k, jnp.zeros((1, 8, 8, 4))),
+    )
+    pipe = AdaptiveMaskInpaintPipeline(
+        unet_fn=lambda p, lat, t, ctx: unet.apply(p["unet"], lat, t, ctx),
+        vae_encode_fn=lambda p, img: enc.apply(p["vae_encoder"], img),
+        vae_decode_fn=lambda p, lat: dec.apply(p["vae_decoder"], lat),
+        # stub person segmenter: bright-region threshold (per-pixel -> dp-safe)
+        segment_fn=lambda p, images: (images.mean(-1) > 0.6).astype(jnp.float32),
+        config=AdaptiveMaskConfig(num_inference_steps=50),
+    )
+    return pipe, params, R
+
+
+@pytest.mark.slow
+def test_flagship_dp_sharded_matches_single_device(rng):
+    """The FULL adaptive-mask scan (UNet+CFG+DDIM+segment+re-encode) under a
+    data mesh must reproduce the single-device result (VERDICT r2 task 2:
+    the in-program successor of inpaint.sh's process-per-GPU fan-out)."""
+    from coma_tpu.parallel.flagship import data_parallel_generate, pad_ragged_batch
+
+    pipe, params, R = _tiny_flagship()
+    B = 6  # ragged: pads to 8 over the mesh
+    img = jnp.asarray(rng.uniform(-1, 1, size=(B, R, R, 3)), jnp.float32)
+    mask = jnp.zeros((B, R, R)).at[:, 8:40, 8:40].set(1.0)
+    ctx = jnp.asarray(rng.normal(size=(B, 7, 32)), jnp.float32)
+    neg = jnp.zeros_like(ctx)
+    key = jax.random.PRNGKey(3)
+
+    single = jax.jit(pipe.generate_p)(params, key, img, mask, ctx, neg)
+
+    mesh = default_mesh()
+    n_dev = mesh.shape["data"]
+    (pimg, pmask, pctx, pneg), B_real = pad_ragged_batch([img, mask, ctx, neg], n_dev)
+    assert B_real == B and pimg.shape[0] == 8
+    gen = data_parallel_generate(pipe, mesh)
+    sharded = gen(params, key, pimg, pmask, pctx, pneg)
+
+    # the pipeline's RNG draws are batch-shaped from one replicated key, so
+    # the partitioned program computes the same noise on every shard
+    np.testing.assert_allclose(
+        np.asarray(sharded)[:B], np.asarray(single), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_resolve_mesh_specs():
+    from coma_tpu.parallel.flagship import resolve_mesh
+
+    assert resolve_mesh(None) is None
+    assert resolve_mesh("1") is None
+    m = resolve_mesh("all")
+    assert m is not None and m.shape["data"] == len(jax.devices())
+    assert resolve_mesh("4").shape["data"] == 4
+    with pytest.raises(SystemExit):
+        resolve_mesh("1024")
