@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="decode in-loop x-hat-0 at 1/f resolution (f=1 is "
                              "reference-exact; f=2 is ~24%% faster and keeps "
                              "mask fidelity with the scale-canonical segmenter)")
+    parser.add_argument("--provoke_crop", type=str, default="0",
+                        help="crop provoke-round decode/segment/re-encode to "
+                             "the default-mask bbox window: 0=off, N=latent "
+                             "side, 'auto'=smallest bucket covering the "
+                             "batch's bboxes (+halo). Alternative to "
+                             "--provoke_decode_factor; approximate (VAE "
+                             "mid-attention couples the frame globally)")
     parser.add_argument("--default_ddim_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)
@@ -326,16 +333,38 @@ def main(argv=None) -> None:
     )
 
     mesh = resolve_mesh(args.mesh)
-    if mesh is not None:
-        n_dev = mesh.shape["data"]
-        generate = data_parallel_generate(
-            pipe, mesh, return_intermediates=args.save_step_video
-        )
-    else:
-        n_dev = 1
-        generate = jax.jit(functools.partial(
-            pipe.generate_p, return_intermediates=args.save_step_video
-        ))
+    n_dev = mesh.shape["data"] if mesh is not None else 1
+
+    import dataclasses as _dc
+
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskInpaintPipeline,
+        choose_crop_latent,
+    )
+
+    _gen_cache = {}
+
+    def generate_for(crop: int):
+        """Jitted generate specialized per provoke-crop size (the persistent
+        compilation cache keeps each bucket across runs)."""
+        if crop not in _gen_cache:
+            p = pipe
+            if crop:
+                p = AdaptiveMaskInpaintPipeline(
+                    pipe.unet_fn, pipe.vae_encode_fn, pipe.vae_decode_fn,
+                    pipe.segment_fn,
+                    config=_dc.replace(pipe.config, provoke_crop_latent=crop),
+                    vae_scaling=pipe.vae_scaling,
+                )
+            if mesh is not None:
+                _gen_cache[crop] = data_parallel_generate(
+                    p, mesh, return_intermediates=args.save_step_video
+                )
+            else:
+                _gen_cache[crop] = jax.jit(functools.partial(
+                    p.generate_p, return_intermediates=args.save_step_video
+                ))
+        return _gen_cache[crop]
 
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
@@ -354,6 +383,11 @@ def main(argv=None) -> None:
         # per-image generator seed = inpaint_id (reference :308-309), folded
         # with the global seed
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
+        if args.provoke_crop == "auto":
+            crop = choose_crop_latent(masks, vae_scale=pipe.config.vae_scale)
+        else:
+            crop = int(args.provoke_crop)
+        generate = generate_for(crop)
         B_real = len(chunk)
         imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
         if n_dev > 1:

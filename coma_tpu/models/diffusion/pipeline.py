@@ -71,6 +71,18 @@ class AdaptiveMaskConfig:
     # in-loop decodes ~4×. f=1 reproduces the reference exactly; the final
     # image decode is always full-resolution.
     provoke_decode_factor: int = 1
+    # Provoke-round latent-space crop (0 = full frame): decode/segment/re-
+    # encode only a (c, c)-latent window anchored on each image's default-
+    # mask bbox. Pixels outside the default mask are discarded by the AND at
+    # adapt() anyway (reference ``adaptive_mask_inpainting.py:1134-1137``),
+    # so the crop sees everything the mask math can use; the caller must
+    # pick c ≥ latent bbox + halo (see :func:`choose_crop_latent`). The re-
+    # encoded masked latents are pasted into the step-0 (default-mask)
+    # encode outside the window. Approximation boundary: the VAE mid-block
+    # attention couples the frame globally, so cropped decode/encode values
+    # are not bit-identical to the full-frame path — the *thresholded
+    # adapted masks* are compared bit-wise in tests instead.
+    provoke_crop_latent: int = 0
 
     def dilate_schedule(self) -> List[int]:
         return default_dilate_schedule(self.num_inference_steps)
@@ -82,6 +94,67 @@ class AdaptiveMaskConfig:
             for one_indexed in default_provoke_schedule(self.num_inference_steps):
                 flags[one_indexed - 1] = True
         return flags
+
+
+def mask_bbox_center(mask: jax.Array) -> jax.Array:
+    """(H, W) binary mask -> (cy, cx) int32 bbox center (frame center when
+    the mask is empty)."""
+    H, W = mask.shape
+
+    def axis_center(any_line: jax.Array, n: int) -> jax.Array:
+        idx = jnp.arange(n)
+        lo = jnp.min(jnp.where(any_line, idx, n))
+        hi = jnp.max(jnp.where(any_line, idx, -1))
+        return jnp.where(hi >= lo, (lo + hi + 1) // 2, n // 2).astype(jnp.int32)
+
+    cy = axis_center(jnp.any(mask > 0, axis=1), H)
+    cx = axis_center(jnp.any(mask > 0, axis=0), W)
+    return jnp.stack([cy, cx])
+
+
+def crop_offsets(default_mask: jax.Array, crop_lat: int, vae_scale: int) -> jax.Array:
+    """Per-image latent-space window offsets (B, 2) int32: a (crop_lat,
+    crop_lat) window centered on the default-mask bbox, clamped in-frame."""
+    B, H, W = default_mask.shape
+    h, w = H // vae_scale, W // vae_scale
+
+    def one(m):
+        cy, cx = mask_bbox_center(m)
+        oy = jnp.clip(cy // vae_scale - crop_lat // 2, 0, h - crop_lat)
+        ox = jnp.clip(cx // vae_scale - crop_lat // 2, 0, w - crop_lat)
+        return jnp.stack([oy, ox])
+
+    return jax.vmap(one)(default_mask)
+
+
+def choose_crop_latent(
+    default_masks: np.ndarray,
+    vae_scale: int = 8,
+    halo: int = 6,
+    buckets: Tuple[int, ...] = (24, 32, 40, 48, 56),
+) -> int:
+    """Host-side crop-size selection for a batch: the smallest bucket
+    covering every image's default-mask bbox plus ``halo`` latent pixels on
+    each side (halo absorbs the VAE's local receptive-field edge effects).
+    Returns 0 (no crop) when no bucket fits. Buckets bound recompiles: the
+    jit specializes per crop size, and the persistent cache keeps each."""
+    m = np.asarray(default_masks) > 0
+    if m.ndim == 2:
+        m = m[None]
+    need = 0
+    for i in range(m.shape[0]):
+        ys, xs = np.any(m[i], axis=1), np.any(m[i], axis=0)
+        if not ys.any():
+            continue
+        yext = int(ys.argmax() + ys[::-1].argmax())
+        xext = int(xs.argmax() + xs[::-1].argmax())
+        ext = max(m.shape[1] - yext, m.shape[2] - xext)
+        need = max(need, -(-ext // vae_scale) + 2 * halo)
+    lat_side = min(m.shape[1], m.shape[2]) // vae_scale
+    for b in buckets:
+        if b >= need and b < lat_side:
+            return b
+    return 0
 
 
 def dilate_mask(mask: jax.Array, iterations: jax.Array, max_iterations: int = 20) -> jax.Array:
@@ -264,6 +337,66 @@ class AdaptiveMaskInpaintPipeline:
             default_mask_small = jax.image.resize(
                 default_mask, (B, H // f, W // f), method="nearest"
             )
+        c = int(cfg.provoke_crop_latent)
+        use_crop = 0 < c < min(h, w)
+        if use_crop and f > 1:
+            raise ValueError(
+                "provoke_crop_latent and provoke_decode_factor>1 are "
+                "alternative provoke-round accelerators; set one"
+            )
+        if use_crop:
+            offs = crop_offsets(default_mask, c, cfg.vae_scale)  # (B, 2)
+            Cp = c * cfg.vae_scale
+            crop_lat4 = jax.vmap(
+                lambda a, o: jax.lax.dynamic_slice(a, (o[0], o[1], 0), (c, c, a.shape[-1]))
+            )
+            crop_pix = jax.vmap(
+                lambda m, o: jax.lax.dynamic_slice(
+                    m, (o[0] * cfg.vae_scale, o[1] * cfg.vae_scale), (Cp, Cp)
+                )
+            )
+            paste_pix = jax.vmap(
+                lambda a, o: jax.lax.dynamic_update_slice(
+                    jnp.zeros((H, W), a.dtype),
+                    a,
+                    (o[0] * cfg.vae_scale, o[1] * cfg.vae_scale),
+                )
+            )
+            paste_lat = jax.vmap(
+                lambda base, a, o: jax.lax.dynamic_update_slice(base, a, (o[0], o[1], 0))
+            )
+            init_crops = jax.vmap(
+                lambda m, o: jax.lax.dynamic_slice(
+                    m,
+                    (o[0] * cfg.vae_scale, o[1] * cfg.vae_scale, 0),
+                    (Cp, Cp, 3),
+                )
+            )(init_image, offs)
+
+        def adapt_cropped(pred_x0, base_masked_lat, i, rng):
+            """Crop-windowed provoke round: decode/segment/re-encode only the
+            default-mask bbox window; everything outside it is discarded by
+            the ∧-with-default-mask anyway. Re-encoded masked latents paste
+            into the step-0 (default-mask) encode."""
+            x0_c = crop_lat4(pred_x0, offs)  # (B, c, c, 4)
+            image_c = jnp.clip(vae_decode_fn(x0_c / self.vae_scaling) / 2 + 0.5, 0, 1)
+            human_c = segment_fn(image_c).astype(init_image.dtype)  # (B, Cp, Cp)
+            grown_c = dilate_mask(human_c, dilate_tab[i])
+            dmask_c = crop_pix(default_mask, offs)
+            adapted_c = jnp.logical_and(grown_c > 0, dmask_c > 0).astype(human_c.dtype)
+            # reference area test (1130-1132) uses the full-frame denominator
+            too_small = jnp.sum(human_c, axis=(1, 2)) < H * W * cfg.human_detection_thres
+            fallback = jnp.logical_or(too_small, use_default_tab[i])
+            mask_c = jnp.where(fallback[:, None, None], dmask_c, adapted_c)
+            mask_full = jnp.where(
+                fallback[:, None, None], default_mask, paste_pix(adapted_c, offs)
+            )
+            mask_lat = downsample_mask(binarize_mask(mask_full), cfg.vae_scale)
+            # cropped re-encode of the masked window, pasted into the base
+            masked_c = init_crops * (binarize_mask(mask_c)[..., None] < 0.5)
+            lat_c = self._encode_image(vae_encode_fn, masked_c, rng)
+            masked_lat = paste_lat(base_masked_lat, lat_c, offs)
+            return mask_lat, masked_lat
 
         def adapt(pred_x0, mask_lat, masked_lat, i, rng):
             """Decode x̂0, segment, dilate ∧ default mask, re-encode."""
@@ -288,6 +421,8 @@ class AdaptiveMaskInpaintPipeline:
             mask = jnp.where(fallback[:, None, None], default_mask, adapted)
             return self._mask_latents(vae_encode_fn, mask, init_image, rng)
 
+        base_masked_lat0 = masked_lat  # step-0 default-mask encode (crop paste base)
+
         def step(carry, i):
             latents, mask_lat, masked_lat, rng = carry
             eps = unet_eps(latents, mask_lat, masked_lat, t_tab[i])
@@ -295,11 +430,18 @@ class AdaptiveMaskInpaintPipeline:
 
             if segment_fn is not None and cfg.use_adaptive_mask:
                 rng, r_adapt = jax.random.split(rng)
-                mask_lat, masked_lat = jax.lax.cond(
-                    provoke_tab[i],
-                    lambda: adapt(pred_x0, mask_lat, masked_lat, i, r_adapt),
-                    lambda: (mask_lat, masked_lat),
-                )
+                if use_crop:
+                    mask_lat, masked_lat = jax.lax.cond(
+                        provoke_tab[i],
+                        lambda: adapt_cropped(pred_x0, base_masked_lat0, i, r_adapt),
+                        lambda: (mask_lat, masked_lat),
+                    )
+                else:
+                    mask_lat, masked_lat = jax.lax.cond(
+                        provoke_tab[i],
+                        lambda: adapt(pred_x0, mask_lat, masked_lat, i, r_adapt),
+                        lambda: (mask_lat, masked_lat),
+                    )
             ys = (
                 dict(mask_lat=mask_lat, pred_x0=pred_x0)
                 if return_intermediates else None
