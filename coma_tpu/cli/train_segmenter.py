@@ -31,6 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval_batches", type=int, default=8)
     parser.add_argument("--eval_seed", type=int, default=10_000,
                         help="held-out stream seed (the quality gate uses the same)")
+    parser.add_argument("--domains", type=str, default="procedural,rendered",
+                        help="comma list of training background domains "
+                             "(procedural | rendered); 'rendered' composites "
+                             "the capsule humans into textured-rasterizer "
+                             "scenes — the stage-1 background distribution")
+    parser.add_argument("--corrupt", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="SD-style corruption (blur/noise/JPEG/jitter)")
+    parser.add_argument("--bg_pool_size", type=int, default=48)
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--bf16_store", action="store_true", default=True)
     return parser
@@ -44,7 +53,11 @@ def main(argv=None) -> None:
 
     from coma_tpu.models.segmentation import PersonSegmenter
     from coma_tpu.models.segmentation_train import SegTrainer
-    from coma_tpu.models.synthetic_person import person_batch
+    from coma_tpu.models.synthetic_person import (
+        person_batch,
+        person_batch_domain,
+        rendered_background_pool,
+    )
     from coma_tpu.utils.checkpoint import save_params
 
     args = build_parser().parse_args(argv)
@@ -58,12 +71,25 @@ def main(argv=None) -> None:
     state = trainer.init(jax.random.PRNGKey(args.seed), (args.size, args.size))
     step_fn = trainer.make_step()
 
+    domains = [d.strip() for d in args.domains.split(",") if d.strip()]
+    bg_pool = None
+    if "rendered" in domains:
+        print("[train_segmenter] pre-rendering background pool "
+              f"({args.bg_pool_size} scenes)...", flush=True)
+        bg_pool = rendered_background_pool(
+            args.seed, n=args.bg_pool_size, size=args.size
+        )
+
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
     def producer():
         rng = np.random.default_rng(args.seed)
-        for _ in range(args.steps):
-            q.put(person_batch(rng, args.batch, args.size))
+        for i in range(args.steps):
+            dom = domains[i % len(domains)]
+            q.put(person_batch_domain(
+                rng, args.batch, args.size, background=dom,
+                corrupt=args.corrupt, bg_pool=bg_pool,
+            ))
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -88,7 +114,9 @@ def main(argv=None) -> None:
         if (i + 1) % 1000 == 0:
             save(state["params"], args.out)  # periodic checkpoint
 
-    # held-out IoU on the eval stream (same seed as the quality-gate test)
+    # held-out IoU on the eval streams (same seeds as the quality-gate test):
+    # in-distribution (procedural) + CROSS-DOMAIN (holdout textures/shapes
+    # the model never trained on, with corruption)
     eval_rng = np.random.default_rng(args.eval_seed)
     ious = []
     for _ in range(args.eval_batches):
@@ -96,6 +124,20 @@ def main(argv=None) -> None:
         ious.append(float(trainer.iou(state["params"], jnp.asarray(imgs), jnp.asarray(masks))))
     miou = float(np.mean(ious))
     print(f"[train_segmenter] held-out IoU {miou:.4f} over {args.eval_batches} batches")
+
+    holdout_pool = rendered_background_pool(
+        args.eval_seed, n=16, size=args.size, holdout=True
+    )
+    cd_rng = np.random.default_rng(args.eval_seed + 1)
+    cd_ious = []
+    for _ in range(args.eval_batches):
+        imgs, masks = person_batch_domain(
+            cd_rng, args.batch, args.size, background="rendered_holdout",
+            corrupt=True, bg_pool=holdout_pool,
+        )
+        cd_ious.append(float(trainer.iou(state["params"], jnp.asarray(imgs), jnp.asarray(masks))))
+    cd_miou = float(np.mean(cd_ious))
+    print(f"[train_segmenter] CROSS-DOMAIN holdout IoU {cd_miou:.4f}")
 
     params = state["params"]
     if args.bf16_store:

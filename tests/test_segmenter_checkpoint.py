@@ -75,6 +75,34 @@ def _batch_with_people(seed, batch, size):
     raise AssertionError("generator produced no all-person batch in 50 tries")
 
 
+def test_cross_domain_holdout_iou_gate(model_and_params):
+    """CROSS-DOMAIN gate (VERDICT r2 task 4): eval on a distribution the
+    checkpoint never trained on — capsule humans composited into
+    textured-rasterizer scenes built from HOLDOUT texture classes
+    (sinusoid/dots) and shapes (tall shelves), then SD-style corrupted
+    (blur/noise/JPEG/jitter). The committed checkpoint trains on the
+    procedural + train-pool rendered domains only."""
+    from coma_tpu.models.segmentation_train import SegTrainer
+    from coma_tpu.models.synthetic_person import (
+        person_batch_domain,
+        rendered_background_pool,
+    )
+
+    model, params = model_and_params
+    trainer = SegTrainer(model, None)
+    pool = rendered_background_pool(EVAL_SEED, n=8, size=SIZE, holdout=True)
+    rng = np.random.default_rng(EVAL_SEED + 1)
+    ious = []
+    for _ in range(2):
+        imgs, masks = person_batch_domain(
+            rng, 16, SIZE, background="rendered_holdout", corrupt=True,
+            bg_pool=pool,
+        )
+        ious.append(float(trainer.iou(params, jnp.asarray(imgs), jnp.asarray(masks))))
+    miou = float(np.mean(ious))
+    assert miou >= 0.60, f"cross-domain holdout mIoU {miou:.3f} below gate"
+
+
 def test_generalizes_across_resolution(model_and_params):
     """The pipeline applies the segmenter at other resolutions (512² in the
     adaptive-mask loop) through the scale-canonical wrapper — which must
