@@ -23,11 +23,28 @@ class CLIPTextConfig:
     num_layers: int = 12
     num_heads: int = 12
     max_positions: int = 77
+    # OpenAI CLIP (SD-1.x) uses quick_gelu; OpenCLIP ViT-H (SD-2.x) uses gelu
+    hidden_act: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
+
+
+def sd2_clip_text_config(dtype=jnp.float32) -> CLIPTextConfig:
+    """Text encoder of ``stabilityai/stable-diffusion-2-inpainting``: OpenCLIP
+    ViT-H trimmed to 23 layers (diffusers ships the penultimate-layer stack),
+    hidden 1024, 16 heads, plain gelu."""
+    return CLIPTextConfig(hidden_size=1024, num_layers=23, num_heads=16,
+                          hidden_act="gelu", dtype=dtype)
 
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _act(cfg: CLIPTextConfig):
+    if cfg.hidden_act == "quick_gelu":
+        return quick_gelu
+    # HF "gelu" is the exact erf form, not jax.nn.gelu's default tanh approx
+    return lambda x: jax.nn.gelu(x, approximate=False)
 
 
 class CLIPAttention(nn.Module):
@@ -60,7 +77,7 @@ class CLIPLayer(nn.Module):
         )
         h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         h = nn.Dense(cfg.hidden_size * 4, dtype=cfg.dtype, name="fc1")(h)
-        h = quick_gelu(h)
+        h = _act(cfg)(h)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
         return x + h
 

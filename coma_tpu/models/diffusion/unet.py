@@ -32,6 +32,9 @@ class UNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 768
     attention_head_dim: int = 8    # SD-1.x: number of heads (naming quirk kept)
+    # SD-2.x: diffusers stores per-block HEAD COUNTS (e.g. (5, 10, 20, 20));
+    # when set this overrides attention_head_dim
+    heads_per_block: Optional[Tuple[int, ...]] = None
     norm_num_groups: int = 32
     # which down/up blocks carry cross-attention (SD-1.x: all but the last down)
     cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False)
@@ -40,6 +43,27 @@ class UNetConfig:
     @property
     def num_heads(self) -> int:
         return self.attention_head_dim
+
+    def heads_for(self, block_index: Optional[int]) -> int:
+        """Head count for the attention blocks of down/up block
+        ``block_index`` (``None`` = the mid block, which diffusers runs at
+        the deepest block's head count).
+
+        SD-1.x checkpoints use one global head count; SD-2.x stores
+        per-block counts (``unet/config.json``'s ``attention_head_dim``
+        list, e.g. ``(5, 10, 20, 20)``)."""
+        if self.heads_per_block is None:
+            return self.attention_head_dim
+        return self.heads_per_block[-1 if block_index is None else block_index]
+
+
+def sd2_inpaint_unet_config(dtype=jnp.bfloat16) -> UNetConfig:
+    """UNet config of ``stabilityai/stable-diffusion-2-inpainting`` — the
+    reference's default inpainting checkpoint
+    (``constants/generation/inpaint_ldm.py:4-15``): OpenCLIP conditioning
+    (cross-dim 1024) and 64-wide heads -> (5, 10, 20, 20) per block."""
+    return UNetConfig(cross_attention_dim=1024,
+                      heads_per_block=(5, 10, 20, 20), dtype=dtype)
 
 
 def timestep_embedding(t: jax.Array, dim: int, dtype=jnp.float32) -> jax.Array:
@@ -132,6 +156,7 @@ class TransformerBlock(nn.Module):
 class SpatialTransformer(nn.Module):
     channels: int
     config: UNetConfig
+    block: Optional[int] = None   # down/up block index (None = mid block)
 
     @nn.compact
     def __call__(self, x, context):
@@ -141,7 +166,8 @@ class SpatialTransformer(nn.Module):
         h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, name="norm")(x)
         h = nn.Conv(self.channels, (1, 1), dtype=cfg.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, self.channels)
-        h = TransformerBlock(self.channels, cfg.num_heads, cfg, name="block0")(h, context)
+        h = TransformerBlock(self.channels, cfg.heads_for(self.block), cfg,
+                             name="block0")(h, context)
         h = h.reshape(B, H, W, self.channels)
         h = nn.Conv(self.channels, (1, 1), dtype=cfg.dtype, name="proj_out")(h)
         return h + residual
@@ -193,7 +219,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(ch, cfg, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.cross_attn_blocks[i]:
-                    h = SpatialTransformer(ch, cfg, name=f"down_{i}_attn_{j}")(h, context)
+                    h = SpatialTransformer(ch, cfg, block=i, name=f"down_{i}_attn_{j}")(h, context)
                 skips.append(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Downsample(ch, cfg, name=f"down_{i}_downsample")(h)
@@ -211,7 +237,7 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResnetBlock(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
                 if cfg.cross_attn_blocks[i]:
-                    h = SpatialTransformer(ch, cfg, name=f"up_{i}_attn_{j}")(h, context)
+                    h = SpatialTransformer(ch, cfg, block=i, name=f"up_{i}_attn_{j}")(h, context)
             if i > 0:
                 h = Upsample(ch, cfg, name=f"up_{i}_upsample")(h)
 

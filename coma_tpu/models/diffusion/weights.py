@@ -241,10 +241,66 @@ def convert_clip_text(sd: Dict[str, np.ndarray], config=None, dtype=jnp.float32)
     return {"params": params}
 
 
+def infer_sd_configs(weights_dir: str):
+    """Read diffusers ``config.json`` files and build matching native configs.
+
+    Returns ``(UNetConfig, CLIPTextConfig)`` — exactly what
+    ``stabilityai/stable-diffusion-2-inpainting`` (the reference's default,
+    ``constants/generation/inpaint_ldm.py:4-15``) or SD-1.x-inpaint dirs
+    declare. Falls back to the SD-1.x defaults when the json files are absent
+    (e.g. a bare safetensors drop)."""
+    import json
+
+    from coma_tpu.models.diffusion.clip_text import CLIPTextConfig
+    from coma_tpu.models.diffusion.unet import UNetConfig
+
+    ucfg, ccfg = UNetConfig(), CLIPTextConfig()
+
+    upath = os.path.join(weights_dir, "unet", "config.json")
+    if os.path.exists(upath):
+        with open(upath) as f:
+            u = json.load(f)
+        head_dim = u.get("attention_head_dim", 8)
+        heads_per_block = None
+        if isinstance(head_dim, (list, tuple)):  # SD-2.x: per-block counts
+            heads_per_block, head_dim = tuple(head_dim), 8
+        ucfg = UNetConfig(
+            in_channels=u.get("in_channels", 9),
+            out_channels=u.get("out_channels", 4),
+            block_out_channels=tuple(u.get("block_out_channels",
+                                           (320, 640, 1280, 1280))),
+            layers_per_block=u.get("layers_per_block", 2),
+            cross_attention_dim=u.get("cross_attention_dim", 768),
+            attention_head_dim=head_dim,
+            heads_per_block=heads_per_block,
+            norm_num_groups=u.get("norm_num_groups", 32),
+            cross_attn_blocks=tuple(
+                t.startswith("CrossAttn")
+                for t in u.get("down_block_types",
+                               ("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",))
+            ),
+        )
+
+    cpath = os.path.join(weights_dir, "text_encoder", "config.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            c = json.load(f)
+        ccfg = CLIPTextConfig(
+            vocab_size=c.get("vocab_size", 49408),
+            hidden_size=c.get("hidden_size", 768),
+            num_layers=c.get("num_hidden_layers", 12),
+            num_heads=c.get("num_attention_heads", 12),
+            max_positions=c.get("max_position_embeddings", 77),
+            hidden_act=c.get("hidden_act", "quick_gelu"),
+        )
+    return ucfg, ccfg
+
+
 def load_sd_params(weights_dir: str, dtype=jnp.bfloat16) -> Dict:
     """Load a diffusers checkpoint directory into our pipeline's params dict."""
     from coma_tpu.models.diffusion.tokenizer import CLIPTokenizer
 
+    ucfg, ccfg = infer_sd_configs(weights_dir)
     unet_sd = _load_safetensors(
         os.path.join(weights_dir, "unet", "diffusion_pytorch_model.safetensors")
     )
@@ -256,10 +312,10 @@ def load_sd_params(weights_dir: str, dtype=jnp.bfloat16) -> Dict:
     )
     enc, dec = convert_vae(vae_sd, dtype=jnp.float32)
     params = dict(
-        unet=convert_unet(unet_sd, dtype=dtype),
+        unet=convert_unet(unet_sd, ucfg, dtype=dtype),
         vae_encoder=enc,
         vae_decoder=dec,
-        clip=convert_clip_text(clip_sd, dtype=jnp.float32),
+        clip=convert_clip_text(clip_sd, ccfg, dtype=jnp.float32),
         tokenizer=CLIPTokenizer(
             os.path.join(weights_dir, "tokenizer", "vocab.json"),
             os.path.join(weights_dir, "tokenizer", "merges.txt"),

@@ -58,6 +58,14 @@ def tiny_sam_config() -> SAMConfig:
                      num_heads=2, window_size=2, global_attn_indexes=(1,))
 
 
+def sam_vit_h_config() -> SAMConfig:
+    """ViT-H — the checkpoint the reference registers for every SAM key
+    (``utils/adaptive_mask_inpainting.py:1240-1242``:
+    ``sam_vit_h_4b8939.pth``)."""
+    return SAMConfig(embed_dim=1280, depth=32, num_heads=16,
+                     global_attn_indexes=(7, 15, 23, 31))
+
+
 # --------------------------------------------------------------------------
 # image encoder
 # --------------------------------------------------------------------------

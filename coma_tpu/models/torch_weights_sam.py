@@ -45,9 +45,16 @@ def _mlp(sd: Mapping, prefix: str, depth: int = 3) -> Dict:
     return {f"lin{i}": t2f_linear(sd, f"{prefix}.layers.{i}") for i in range(depth)}
 
 
-def convert_sam(sd: Mapping, depth: int = 12, num_mask_tokens: int = 4) -> Dict:
+def convert_sam(sd: Mapping, depth: int = None, num_mask_tokens: int = 4) -> Dict:
     """Full checkpoint state dict -> ``{'params': ...}`` for
-    :class:`coma_tpu.models.sam.SAM`."""
+    :class:`coma_tpu.models.sam.SAM`. ``depth`` defaults to the block count
+    found in the checkpoint (12 for vit_b, 32 for vit_h)."""
+    if depth is None:
+        depth = 1 + max(
+            (int(k.split(".")[2]) for k in sd
+             if k.startswith("image_encoder.blocks.")),
+            default=11,
+        )
     enc: Dict = {
         "patch_embed": t2f_conv(sd, "image_encoder.patch_embed.proj"),
         # SAM's ViT runs NHWC internally; pos_embed is already (1, g, g, C)

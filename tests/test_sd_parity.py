@@ -66,6 +66,44 @@ def test_unet_forward_parity(unet_pair, rng):
 
 
 @pytest.mark.slow
+def test_unet_forward_parity_sd2_heads(rng):
+    """SD-2.x head layout: diffusers stores per-block head COUNTS
+    (``attention_head_dim: [5, 10, 20, 20]`` in
+    stable-diffusion-2-inpainting's unet config). A tiny config with distinct
+    per-block counts must match the mirror given the same list."""
+    torch.manual_seed(1)
+    heads = (1, 2, 4, 4)
+    mirror = UNetMirror(
+        in_channels=9, out_channels=4, block_out_channels=(32, 64, 64, 64),
+        layers_per_block=1, cross_attention_dim=48, heads=heads, groups=8,
+        cross_attn_blocks=(True, True, True, False),
+    ).eval()
+    cfg = UNetConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+        cross_attention_dim=48, heads_per_block=heads, norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    params = convert_unet(_np_state_dict(mirror), cfg, dtype=jnp.float32)
+
+    gen = np.random.default_rng(7)
+    sample = gen.normal(size=(2, 16, 16, 9)).astype(np.float32)
+    context = gen.normal(size=(2, 7, 48)).astype(np.float32)
+    t = np.array([11.0, 801.0], np.float32)
+    with torch.no_grad():
+        ref = mirror(
+            torch.from_numpy(sample).permute(0, 3, 1, 2),
+            torch.from_numpy(t),
+            torch.from_numpy(context),
+        ).permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(
+        UNet2DCondition(cfg).apply(
+            params, jnp.asarray(sample), jnp.asarray(t), jnp.asarray(context)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_unet_timestep_sensitivity(unet_pair, rng):
     """The sinusoidal embedding convention (cos|sin flip) must match — an
     embedding order bug would still pass a single-timestep test by luck."""

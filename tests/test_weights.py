@@ -204,9 +204,12 @@ def test_tokenizer_basic(tmp_path):
 
 
 @pytest.mark.slow
-def test_clip_text_parity_vs_transformers(rng):
+@pytest.mark.parametrize("act", ["quick_gelu", "gelu"])
+def test_clip_text_parity_vs_transformers(rng, act):
     """Converted weights through our CLIPTextEncoder must match the real
-    torch CLIPTextModel (transformers) hidden states."""
+    torch CLIPTextModel (transformers) hidden states — for both the SD-1.x
+    OpenAI CLIP activation (quick_gelu) and the SD-2.x OpenCLIP one (gelu,
+    ``stabilityai/stable-diffusion-2-inpainting`` text_encoder config)."""
     transformers = pytest.importorskip("transformers")
     torch = pytest.importorskip("torch")
 
@@ -216,7 +219,7 @@ def test_clip_text_parity_vs_transformers(rng):
     hf_cfg = transformers.CLIPTextConfig(
         vocab_size=1000, hidden_size=32, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=2,
-        max_position_embeddings=77, hidden_act="quick_gelu",
+        max_position_embeddings=77, hidden_act=act,
     )
     hf = transformers.CLIPTextModel(hf_cfg).eval()
     ids = rng.integers(1, 1000, size=(2, 77))
@@ -224,7 +227,48 @@ def test_clip_text_parity_vs_transformers(rng):
         want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
 
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
-    cfg = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2)
+    cfg = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=2,
+                         num_heads=2, hidden_act=act)
     variables = convert_clip_text(sd, config=cfg)
     got = np.asarray(CLIPTextEncoder(cfg).apply(variables, jnp.asarray(ids)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_infer_sd_configs(tmp_path):
+    """The diffusers-dir config sniffer must map SD-2-inpaint's
+    ``config.json`` fields (per-block attention_head_dim list, OpenCLIP text
+    encoder) onto the native configs."""
+    import json
+
+    from coma_tpu.models.diffusion.weights import infer_sd_configs
+
+    (tmp_path / "unet").mkdir()
+    (tmp_path / "text_encoder").mkdir()
+    with open(tmp_path / "unet" / "config.json", "w") as f:
+        json.dump({
+            "in_channels": 9, "out_channels": 4,
+            "block_out_channels": [320, 640, 1280, 1280],
+            "layers_per_block": 2, "cross_attention_dim": 1024,
+            "attention_head_dim": [5, 10, 20, 20], "norm_num_groups": 32,
+            "down_block_types": ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"],
+        }, f)
+    with open(tmp_path / "text_encoder" / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": 49408, "hidden_size": 1024,
+            "num_hidden_layers": 23, "num_attention_heads": 16,
+            "max_position_embeddings": 77, "hidden_act": "gelu",
+        }, f)
+
+    ucfg, ccfg = infer_sd_configs(str(tmp_path))
+    assert ucfg.cross_attention_dim == 1024
+    assert ucfg.heads_per_block == (5, 10, 20, 20)
+    assert ucfg.heads_for(0) == 5 and ucfg.heads_for(2) == 20
+    assert ucfg.heads_for(None) == 20  # mid block = deepest
+    assert ucfg.cross_attn_blocks == (True, True, True, False)
+    assert ccfg.hidden_size == 1024 and ccfg.num_layers == 23
+    assert ccfg.hidden_act == "gelu"
+
+    # absent config.json -> SD-1.x defaults
+    ucfg0, ccfg0 = infer_sd_configs(str(tmp_path / "nonexistent"))
+    assert ucfg0.heads_per_block is None and ucfg0.attention_head_dim == 8
+    assert ccfg0.hidden_act == "quick_gelu"

@@ -259,6 +259,9 @@ class UNetMirror(nn.Module):
         super().__init__()
         chs = block_out_channels
         n = len(chs)
+        # diffusers SD-2.x: attention_head_dim is a per-block head-count list
+        per_block = (tuple(heads) if isinstance(heads, (list, tuple))
+                     else (heads,) * n)
         ch0 = chs[0]
         temb_dim = ch0 * 4
         self.ch0 = ch0
@@ -272,13 +275,13 @@ class UNetMirror(nn.Module):
             down = i < n - 1
             self.down_blocks.append(
                 _DownBlock(in_ch, ch, temb_dim, layers_per_block,
-                           cross_attn_blocks[i], cross_attention_dim, heads,
-                           groups, down)
+                           cross_attn_blocks[i], cross_attention_dim,
+                           per_block[i], groups, down)
             )
             skip_chs.append([ch] * layers_per_block + ([ch] if down else []))
             in_ch = ch
 
-        self.mid_block = _MidBlock(chs[-1], temb_dim, cross_attention_dim, heads, groups)
+        self.mid_block = _MidBlock(chs[-1], temb_dim, cross_attention_dim, per_block[-1], groups)
 
         flat_skips = [c for blk in skip_chs for c in blk]
         self.up_blocks = nn.ModuleList()
@@ -288,7 +291,8 @@ class UNetMirror(nn.Module):
             pops = [flat_skips.pop() for _ in range(layers_per_block + 1)]
             self.up_blocks.append(
                 _UpBlock(prev, pops, chs[i], temb_dim, cross_attn_blocks[i],
-                         cross_attention_dim, heads, groups, upsample=i > 0)
+                         cross_attention_dim, per_block[i], groups,
+                         upsample=i > 0)
             )
             prev = chs[i]
 
