@@ -82,16 +82,105 @@ class KinectCalib:
         cx, cy = self.calibration_matrix[:2, 2]
         return np.stack([xd * fx + cx, yd * fy + cy], axis=-1)
 
-    def dmap2pc(self, depth_mm: np.ndarray) -> np.ndarray:
+    def dmap2pc(self, depth_mm: np.ndarray, return_mask: bool = False):
         """Depth map (mm) -> point cloud via the precomputed xy table
-        (``behave.py:dmap2pc:95-107``)."""
+        (``behave.py:dmap2pc:93-105``)."""
         assert self.pc_table is not None, "needs the precomputed pc table"
         table = np.dstack([self.pc_table, np.ones(self.pc_table.shape[:2] + (1,))])
         d = depth_mm.astype(np.float64) / 1000.0
         d[depth_mm == 0] = np.nan
         pc = table * d[..., None]
         valid = np.isfinite(pc[:, :, 0])
+        if return_mask:
+            return pc[valid], valid
         return pc[valid]
+
+    # -- multi-kinect depth<->color machinery (behave.py:107-198) ----------
+
+    def interpolate_depth(self, depth_im: np.ndarray) -> np.ndarray:
+        """Fill depth holes by 1-D linear interpolation over the raveled map
+        (``behave.py:interpolate_depth:107-115``, borrowed from PROX)."""
+        zero_mask = np.asarray(depth_im == 0.0).ravel()
+        flat = depth_im.astype(np.float64).ravel()
+        flat[zero_mask] = np.interp(
+            np.flatnonzero(zero_mask), np.flatnonzero(~zero_mask),
+            flat[~zero_mask]
+        )
+        return flat.reshape(depth_im.shape)
+
+    def pc2color(self, pointcloud: np.ndarray) -> np.ndarray:
+        """Depth-camera points -> RGB pixel coords
+        (``behave.py:pc2color:117-124``)."""
+        pc_color = pointcloud @ self.depth2color_R.T + self.depth2color_t
+        return self.project_points(pc_color)
+
+    def valid_pixmask(self, color_pixels: np.ndarray) -> np.ndarray:
+        w, h = self.image_size
+        return ((color_pixels[:, 0] >= 0) & (color_pixels[:, 0] < w)
+                & (color_pixels[:, 1] >= 0) & (color_pixels[:, 1] < h))
+
+    def pc2color_valid(self, pointcloud: np.ndarray):
+        """(pixels, points) with out-of-frame projections removed
+        (``behave.py:pc2color_valid:126-135``)."""
+        projected = self.pc2color(pointcloud)
+        mask = self.valid_pixmask(projected)
+        return projected[mask, :], pointcloud[mask, :]
+
+    def dmap2colorpc(self, color: np.ndarray, depth_mm: np.ndarray):
+        """Depth in the COLOR camera -> (points, per-point colors)
+        (``behave.py:dmap2colorpc:188-193``)."""
+        pc, mask = self.dmap2pc(depth_mm, return_mask=True)
+        return pc, color[mask].astype(np.float64) / 255.0
+
+    def get_pc_colors(self, pointcloud: np.ndarray, color_frame: np.ndarray,
+                      projected_color_pc: np.ndarray = None) -> np.ndarray:
+        """Sample per-point RGB by bivariate-spline interpolation of the
+        color frame at the projected coords (``behave.py:160-174``)."""
+        from scipy.interpolate import RectBivariateSpline
+
+        if projected_color_pc is None:
+            projected_color_pc = self.pc2color(pointcloud)
+        pc_colors = np.ones_like(pointcloud, dtype=np.float64)
+        for i in range(3):
+            spline = RectBivariateSpline(
+                np.arange(color_frame.shape[0]),
+                np.arange(color_frame.shape[1]),
+                color_frame[:, :, i],
+            )
+            pc_colors[:, i] = spline(
+                projected_color_pc[:, 1], projected_color_pc[:, 0], grid=False
+            )
+        return np.clip(pc_colors / 255.0, 0, 1)
+
+    def color_to_pc(self, colorpts: np.ndarray, pc_depth: np.ndarray,
+                    projected_color_pc: np.ndarray = None,
+                    k: int = 4, std: float = 1.0) -> np.ndarray:
+        """Lift color-pixel locations to 3D as a distance-weighted blend of
+        the k nearest projected depth points (``behave.py:143-158``)."""
+        from scipy.spatial import cKDTree
+
+        if projected_color_pc is None:
+            projected_color_pc = self.pc2color(pc_depth)
+        tree = cKDTree(projected_color_pc)
+        dists, inds = tree.query(colorpts, k=k)
+        weights = np.exp(-dists / (2 * std**2))
+        w = weights / weights.sum(axis=1, keepdims=True)
+        return (pc_depth[inds.reshape(-1), :].reshape(-1, k, 3)
+                * w[:, :, None]).sum(axis=1)
+
+    def pc2dmap(self, points: np.ndarray) -> np.ndarray:
+        """Reproject a point cloud to a color-frame depth map via
+        nearest-grid interpolation (``behave.py:pc2dmap:176-186``)."""
+        from scipy.interpolate import griddata
+
+        p2d = self.project_points(points)
+        cw, ch = self.image_size
+        px, py = np.meshgrid(np.arange(cw, dtype=np.float64),
+                             np.arange(ch, dtype=np.float64))
+        depth = griddata(p2d, points[:, 2], (px, py), method="nearest")
+        dmap = np.zeros((ch, cw))
+        dmap[py.astype(int), px.astype(int)] = depth
+        return dmap
 
 
 def prepare_affordance_extraction_inputs_for_behave(
@@ -240,12 +329,19 @@ class BehaveSequence:
     :func:`prepare_affordance_extraction_inputs_for_behave`.
     """
 
-    def __init__(self, seq_path: str, ext: str = "jpg"):
+    def __init__(self, seq_path: str, ext: str = "jpg", empty: str = None):
         self.seq_path = seq_path.rstrip("/")
         self.ext = ext
         self.seq_info = SeqInfo(self.seq_path)
         self.kids = self.seq_info.kids
         self.frames = self._list_frames()
+        # ``empty``: an empty-room sequence dir; its per-kinect average depth
+        # becomes the background model for depth filtering
+        # (``behave.py:prepare_bkgs:581-587``)
+        self.bkgs = (
+            None if empty is None
+            else {k: sequence_background_depth(empty, k) for k in self.kids}
+        )
 
     def _list_frames(self):
         def key(name):
@@ -328,3 +424,171 @@ class BehaveSequence:
         from coma_tpu.utils.ply import read_ply_pointcloud
 
         return read_ply_pointcloud(pth)[0]
+
+    # -- multi-kinect frame access (KinectFrameReader, behave.py:479-607) --
+
+    def get_color_images(self, idx: int, kids=None):
+        return [self.get_color_image(idx, k)
+                for k in (self.kids if kids is None else kids)]
+
+    def get_depth_images(self, idx: int, kids=None):
+        return [self.get_depth_image(idx, k)
+                for k in (self.kids if kids is None else kids)]
+
+    def __getitem__(self, idx: int):
+        """(colors, depths) across all kinects, background-filtered when an
+        empty-room sequence was given (``behave.py:__getitem__:533-549``)."""
+        colors = self.get_color_images(idx)
+        depths = self.get_depth_images(idx)
+        if self.bkgs is not None:
+            depths = [remove_background_depth(d, self.bkgs[k], tol=30)
+                      for d, k in zip(depths, self.kids)]
+        return colors, depths
+
+    def frame_time(self, idx: int) -> str:
+        return self.frames[idx]
+
+    def get_timestamps(self):
+        """float seconds for every frame (``behave.py:594-597``)."""
+        return [float(x.replace("t", "").split(".")[0]
+                      + "." + x.split(".")[1]) for x in self.frames]
+
+    def get_frame_idx(self, timestr: str) -> int:
+        """index of a ``t<sec>.<sub>`` frame name, -1 if absent
+        (``behave.py:599-604``)."""
+        try:
+            return self.frames.index(timestr)
+        except ValueError:
+            return -1
+
+    def cvt_end(self, end):
+        return len(self) if end is None else min(end, len(self))
+
+    # -- mocap / keypoints / masks (FrameDataReader, behave.py:660-822) ----
+
+    def get_mocap_pose(self, idx: int, kid: int = 1):
+        return self._mocap_field(idx, kid, "pose")
+
+    def get_mocap_beta(self, idx: int, kid: int = 1):
+        return self._mocap_field(idx, kid, "betas")
+
+    def _mocap_field(self, idx, kid, field):
+        import json
+
+        pth = os.path.join(self.frame_folder(idx), f"k{kid}.mocap.json")
+        if not os.path.isfile(pth):
+            return None
+        with open(pth) as fh:
+            return np.asarray(json.load(fh)[field])
+
+    def get_body_kpts(self, idx: int, kid: int, tol: float = 0.5):
+        """(J, 3) 2D joints + confidence; low-confidence scores zeroed
+        (``behave.py:get_body_kpts:774-781``)."""
+        import json
+
+        pth = os.path.join(self.frame_folder(idx), f"k{kid}.color.json")
+        if not os.path.isfile(pth):
+            return None
+        with open(pth) as fh:
+            J2d = np.asarray(json.load(fh)["body_joints"]).reshape(-1, 3)
+        J2d[:, 2][J2d[:, 2] < tol] = 0
+        return J2d
+
+    def get_body_j3d(self, idx: int):
+        """(J, 4) triangulated joints+score (``behave.py:761-772``)."""
+        import json
+
+        pth = self.get_pcpath(idx, "person").replace(".ply", "_J3d.json")
+        if not os.path.isfile(pth):
+            return None
+        with open(pth) as fh:
+            return np.asarray(json.load(fh)["body_joints3d"]).reshape(-1, 4)
+
+    def get_mask_file(self, idx: int, kid: int, cat: str) -> str:
+        """Person/object mask path with the reference's fallback chain
+        (``behave.py:get_mask_file:795-813``)."""
+        folder = self.frame_folder(idx)
+        if cat == "person":
+            for ext in ("png", "jpg"):
+                f = os.path.join(folder, f"k{kid}.person_mask.{ext}")
+                if os.path.isfile(f):
+                    return f
+            return f
+        if cat == "obj":
+            for ext in ("png", "jpg"):
+                f = os.path.join(folder, f"k{kid}.obj_rend_mask.{ext}")
+                if not os.path.isfile(f):
+                    f = os.path.join(folder, f"k{kid}.obj_mask.{ext}")
+                if os.path.isfile(f):
+                    return f
+            return f
+        raise NotImplementedError(cat)
+
+    def get_mask(self, idx: int, kid: int, cat: str = "person",
+                 ret_bool: bool = True):
+        from PIL import Image
+
+        pth = self.get_mask_file(idx, kid, cat)
+        if not os.path.isfile(pth):
+            return None
+        mask = np.asarray(Image.open(pth).convert("L"))
+        return mask > 127 if ret_bool else mask
+
+    def get_person_mask(self, idx: int, kids=None, ret_bool: bool = True):
+        return [self.get_mask(idx, k, "person", ret_bool)
+                for k in (self.kids if kids is None else kids)]
+
+    # -- segmented scan point clouds (behave.py:640-658, 824-834) ----------
+
+    def get_pcpath(self, idx: int, cat: str, convert: bool = False) -> str:
+        name = ("person" if cat == "person"
+                else self.seq_info.get_obj_name(convert))
+        return os.path.join(self.frame_folder(idx), name, f"{name}.ply")
+
+    def get_pc(self, idx: int, cat: str = "person", convert: bool = False):
+        """(points, colors, normals) of the segmented scan, or None. Falls
+        back to the other object naming like the reference
+        (``behave.py:get_pc:640-645``)."""
+        pth = self.get_pcpath(idx, cat, convert)
+        if not os.path.isfile(pth):
+            pth = self.get_pcpath(idx, cat, not convert)
+        if not os.path.isfile(pth):
+            return None
+        from coma_tpu.utils.ply import read_ply_pointcloud
+
+        return read_ply_pointcloud(pth)
+
+    def get_pcfiles(self, frames, cat: str, convert: bool = False):
+        return [self.get_pcpath(x, cat, convert) for x in frames]
+
+    def pc_exists(self, idx: int, cat: str, convert: bool = False) -> bool:
+        return os.path.isfile(self.get_pcpath(idx, cat, convert))
+
+    def get_pointcloud(self, idx: int, kid: int, calib: KinectCalib):
+        """Native convenience: unproject this frame's depth map through the
+        kinect calibration (depth holes NOT filled; compose with
+        ``calib.interpolate_depth`` when needed)."""
+        return calib.dmap2pc(self.get_depth_image(idx, kid))
+
+
+def sequence_background_depth(empty_seq: str, kid: int,
+                              start: int = 0) -> np.ndarray:
+    """Average depth of an empty-room sequence for one kinect — the
+    background model (``behave.py:get_seq_bkg:610-621``)."""
+    from PIL import Image
+
+    depths = []
+    for frame in sorted(os.listdir(empty_seq))[start:]:
+        pth = os.path.join(empty_seq, frame, f"k{kid}.depth.png")
+        if os.path.isfile(pth):
+            depths.append(np.asarray(Image.open(pth), dtype=np.float64))
+    return np.stack(depths, axis=-1).mean(axis=-1)
+
+
+def remove_background_depth(depth: np.ndarray, bkg: np.ndarray,
+                            tol: float = 100) -> np.ndarray:
+    """Zero pixels within ``tol`` mm of the background model
+    (``behave.py:remove_background:624-628``)."""
+    out = depth.copy()
+    out[np.abs(depth.astype(np.float64) - bkg) < tol] = 0
+    return out

@@ -186,6 +186,150 @@ def test_behave_sequence_reader(tmp_path, rng):
     assert reader.get_objfit_params(0, "nope") == (None, None)
 
 
+def test_frame_data_reader_surface(tmp_path, rng):
+    """The full KinectFrameReader/FrameDataReader surface
+    (``behave.py:479-834``): multi-kinect batch access, background-filtered
+    depth, timestamps, mocap json, 2D/3D keypoints, mask fallback chain,
+    scan pc path schema, and depth->pointcloud through the calibration."""
+    import json
+
+    from PIL import Image
+
+    from coma_tpu.pipelines.behave_eval import (
+        BehaveSequence,
+        KinectCalib,
+        remove_background_depth,
+        sequence_background_depth,
+    )
+
+    seq = tmp_path / "Date01_Sub01_backpack"
+    seq.mkdir()
+    json.dump(
+        dict(cat="backpack", gender="male", kinects=[0, 1], beta=[0.0] * 10,
+             config="c", empty=None, intrinsic="i"),
+        open(seq / "info.json", "w"),
+    )
+    empty = tmp_path / "Date01_empty"
+    for t, depth_val in (("t0001.000", 2000), ("t0002.000", 2000)):
+        f = empty / t
+        f.mkdir(parents=True)
+        for kid in range(2):
+            Image.fromarray(np.full((8, 8), depth_val, np.uint16)).save(
+                f / f"k{kid}.depth.png")
+
+    f = seq / "t0003.000"
+    f.mkdir()
+    for kid in range(2):
+        Image.fromarray(np.full((8, 8, 3), 100, np.uint8)).save(
+            f / f"k{kid}.color.jpg")
+        depth = np.full((8, 8), 2000, np.uint16)
+        depth[2:4, 2:4] = 1500   # foreground blob 500mm off the background
+        Image.fromarray(depth).save(f / f"k{kid}.depth.png")
+    json.dump(dict(pose=list(range(72)), betas=list(range(10))),
+              open(f / "k1.mocap.json", "w"))
+    json.dump(dict(body_joints=[10.0, 20.0, 0.9, 30.0, 40.0, 0.2]),
+              open(f / "k0.color.json", "w"))
+    (f / "person").mkdir()
+    json.dump(dict(body_joints3d=[1.0, 2.0, 3.0, 0.8]),
+              open(f / "person" / "person_J3d.json", "w"))
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:4, 2:4] = 255
+    Image.fromarray(mask).save(f / "k0.person_mask.jpg")   # jpg fallback
+    Image.fromarray(mask).save(f / "k1.obj_mask.png")      # obj_mask fallback
+
+    reader = BehaveSequence(str(seq), empty=str(empty))
+    colors, depths = reader[0]
+    assert len(colors) == 2 and colors[0].shape == (8, 8, 3)
+    # background-filtered: background pixels zeroed, blob kept
+    assert depths[0][0, 0] == 0 and depths[0][2, 2] == 1500
+    assert reader.get_timestamps() == [3.0]
+    assert reader.frame_time(0) == "t0003.000"
+    assert reader.get_frame_idx("t0003.000") == 0
+    assert reader.get_frame_idx("t9999.000") == -1
+    assert reader.cvt_end(None) == 1 and reader.cvt_end(99) == 1
+
+    np.testing.assert_array_equal(reader.get_mocap_pose(0, kid=1),
+                                  np.arange(72))
+    assert reader.get_mocap_pose(0, kid=0) is None
+    kpts = reader.get_body_kpts(0, kid=0, tol=0.5)
+    assert kpts.shape == (2, 3)
+    assert kpts[1, 2] == 0.0   # below-tolerance confidence zeroed
+    np.testing.assert_allclose(reader.get_body_j3d(0), [[1, 2, 3, 0.8]])
+
+    # mask fallback chains: person png->jpg, obj rend_mask->obj_mask
+    assert reader.get_mask_file(0, 0, "person").endswith(".jpg")
+    assert reader.get_mask(0, 0, "person").sum() == 4
+    assert reader.get_mask_file(0, 1, "obj").endswith("obj_mask.png")
+    assert reader.get_person_mask(0)[1] is None   # k1 has no person mask
+
+    assert reader.get_pcpath(0, "obj").endswith("backpack/backpack.ply")
+    assert not reader.pc_exists(0, "obj")
+    assert reader.get_pc(0, "obj") is None
+    assert reader.get_pcfiles([0], "person") == [reader.get_pcpath(0, "person")]
+
+    # depth -> pointcloud through the calibration table
+    table = rng.normal(size=(8, 8, 2))
+    calib = KinectCalib(
+        calibration_matrix=np.eye(3), dist_coeffs=np.zeros(4),
+        image_size=(8, 8), depth_matrix=np.eye(3),
+        depth2color_R=np.eye(3), depth2color_t=np.zeros(3), pc_table=table)
+    pc = reader.get_pointcloud(0, 0, calib)
+    assert pc.shape == (64, 3)
+    np.testing.assert_allclose(pc[0, 2], 2.0)   # 2000mm -> 2m
+
+    # background model averages the empty sequence
+    bkg = sequence_background_depth(str(empty), 0)
+    np.testing.assert_allclose(bkg, 2000.0)
+    filtered = remove_background_depth(np.full((8, 8), 2010, np.uint16),
+                                       bkg, tol=30)
+    assert filtered.sum() == 0
+
+
+def test_kinect_calib_depth_color_machinery(rng):
+    """pc2color round trips, hole filling, pc2dmap reprojection
+    (``behave.py:107-198``)."""
+    from coma_tpu.pipelines.behave_eval import KinectCalib
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    calib = KinectCalib(
+        calibration_matrix=K, dist_coeffs=np.zeros(4), image_size=(64, 64),
+        depth_matrix=K, depth2color_R=np.eye(3),
+        depth2color_t=np.zeros(3), pc_table=None)
+
+    pts = np.array([[0.0, 0.0, 2.0], [0.1, -0.05, 1.5]])
+    pix = calib.pc2color(pts)
+    np.testing.assert_allclose(pix[0], [32, 32])
+    valid_pix, valid_pts = calib.pc2color_valid(
+        np.vstack([pts, [[5.0, 5.0, 1.0]]]))   # last point projects far out
+    assert len(valid_pts) == 2
+
+    # hole filling: zeros vanish, non-zero values survive untouched
+    depth = np.full((4, 4), 7.0)
+    depth[1, 1] = 0.0
+    filled = calib.interpolate_depth(depth.copy())
+    assert filled[1, 1] == 7.0 and (filled == 7.0).all()
+
+    # pc2dmap: nearest-grid reprojection puts each depth at its pixel
+    grid = np.stack(np.meshgrid(np.linspace(-0.2, 0.2, 5),
+                                np.linspace(-0.2, 0.2, 5)), -1).reshape(-1, 2)
+    pts3 = np.concatenate([grid, np.full((25, 1), 2.0)], -1)
+    dmap = calib.pc2dmap(pts3)
+    assert dmap.shape == (64, 64)
+    np.testing.assert_allclose(dmap[32, 32], 2.0)
+
+    # color sampling + weighted lift back to 3D
+    color = np.tile(np.arange(64, dtype=np.float64)[None, :, None] * 4,
+                    (64, 1, 3))
+    cols = calib.get_pc_colors(pts, color)
+    assert cols.shape == (2, 3) and (0 <= cols).all() and (cols <= 1).all()
+    many = np.concatenate(
+        [rng.uniform(-0.2, 0.2, size=(6, 2)), np.full((6, 1), 2.0)], -1)
+    lifted = calib.color_to_pc(calib.pc2color(many), many)
+    # each pixel's nearest projected point is itself; the k=4 blend pulls
+    # toward neighbors, so just check the lift lands near the true points
+    assert np.abs(lifted - many).max() < 0.5
+
+
 def test_prepare_inputs_object_mesh_crosscheck(tmp_path, rng):
     """object_mesh_for_check_pth: the redundant-load assertion
     (utils/coma.py:694-699) passes on a matching OBJ and trips on a
