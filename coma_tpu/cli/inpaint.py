@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pointrend_weights", type=str,
                         help="converted PointRend params (.npz) for "
                              "--person_segmenter pointrend")
+    parser.add_argument("--pointrend_fast", action="store_true",
+                        help="bf16 detector compute + stride-4 mask paste for "
+                             "the in-loop PointRend (latent-mask IoU vs exact "
+                             ">= 0.99 at production scale, "
+                             "tests/test_pointrend.py)")
     parser.add_argument("--random_weights", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs at 64x64 (hermetic smoke runs)")
@@ -218,7 +223,11 @@ def build_pipeline(args):
             )
         else:
             raise SystemExit("--person_segmenter pointrend needs --pointrend_weights")
-        person_fn = make_pointrend_segment_fn(pr_model)
+        person_fn = make_pointrend_segment_fn(
+            pr_model,
+            compute_dtype=jnp.bfloat16 if args.pointrend_fast else None,
+            paste_stride=4 if args.pointrend_fast else 1,
+        )
     else:
         from coma_tpu.cli.segment_human import default_segmenter_checkpoint
         from coma_tpu.models.segmentation import make_person_segment_fn

@@ -571,13 +571,24 @@ def merged_person_mask(
     box_scale: Tuple[float, float],
     score_thresh: float = 0.8,
     person_class: int = 0,
+    paste_stride: int = 1,
 ) -> jax.Array:
     """Jittable paste + merge: detector output -> one binary person mask at
     ``image_hw``. This is the reference's ``merge_mode='merge'``
     (``adaptive_mask_inpainting.py:1210-1215``) fused into XLA so the
     adaptive-mask provoke step never leaves the device. ``box_scale`` maps
-    detector coordinates back to image pixels (sy, sx)."""
+    detector coordinates back to image pixels (sy, sx).
+
+    ``paste_stride > 1`` pastes on a coarser pixel grid (sampling at the
+    coarse pixel centers) and nearest-upsamples back to ``image_hw`` — the
+    in-loop accelerator: the provoke step immediately ANDs the mask with the
+    default mask and downsamples it to latent resolution (stride 8), so
+    pasting at stride <= 8 can only change latent cells whose 8x8 pixel
+    block straddles the stride-1 mask's pixel-level boundary (property
+    tested in ``tests/test_pointrend.py``)."""
     H, W = image_hw
+    s = paste_stride
+    ph, pw = H // s, W // s
     sy, sx = box_scale
     boxes = det["boxes"] * jnp.asarray([sx, sy, sx, sy])
     keep = det["valid"] & (det["classes"] == person_class) & (
@@ -585,31 +596,45 @@ def merged_person_mask(
     )
     logits = det["mask_logits"]  # (R, S, S)
     R, S, _ = logits.shape
-    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    ys = (jnp.arange(ph, dtype=jnp.float32) + 0.5) * (H / ph)
+    xs = (jnp.arange(pw, dtype=jnp.float32) + 0.5) * (W / pw)
 
     def paste_one(l, b, k):
         u = (xs[None, :] - b[0]) / jnp.maximum(b[2] - b[0], 1e-6)
         v = (ys[:, None] - b[1]) / jnp.maximum(b[3] - b[1], 1e-6)
         inside = (u > 0) & (u < 1) & (v > 0) & (v < 1)
         coords = jnp.stack(
-            [jnp.broadcast_to(u, (H, W)), jnp.broadcast_to(v, (H, W))], axis=-1
+            [jnp.broadcast_to(u, (ph, pw)), jnp.broadcast_to(v, (ph, pw))],
+            axis=-1,
         )
-        vals = grid_sample_bilinear(l[..., None], coords)[..., 0]
+        vals = grid_sample_bilinear(l[..., None].astype(jnp.float32), coords)[..., 0]
         return (vals > 0) & inside & k
 
     masks = jax.vmap(paste_one)(logits, boxes, keep)
-    return jnp.any(masks, axis=0)
+    merged = jnp.any(masks, axis=0)
+    if s > 1:
+        merged = jax.image.resize(
+            merged.astype(jnp.float32), (H, W), "nearest"
+        ) > 0.5
+    return merged
 
 
 def make_pointrend_segment_fn(
-    model: "PointRendModel", score_thresh: float = 0.8
+    model: "PointRendModel",
+    score_thresh: float = 0.8,
+    compute_dtype=None,
+    paste_stride: int = 1,
 ):
     """Batched in-scan segment_fn — (params, images (B, H, W, 3) RGB in
     [0, 1]) -> (B, H, W) float masks — the PointRend counterpart of the
     U-Net ``person_fn`` in ``cli/inpaint.py``. Fully jittable; the whole
     detector runs inside the diffusion scan at every provoke step, exactly
-    the reference's in-loop PointRendPredictor."""
+    the reference's in-loop PointRendPredictor.
+
+    ``compute_dtype=jnp.bfloat16`` casts params + activations so the R50-FPN
+    convolutions hit the MXU in bf16 (box/score refinement stays in the mixed
+    promotion, so NMS ordering is f32); ``paste_stride`` coarsens the mask
+    paste grid (see :func:`merged_person_mask`)."""
     cfg = model.cfg
     mean_rgb = jnp.asarray(cfg.pixel_mean)[::-1]
 
@@ -621,14 +646,24 @@ def make_pointrend_segment_fn(
         net = (net - mean_rgb)[..., ::-1]  # BGR, mean-subtracted
         ph, pw = (32 - nh % 32) % 32, (32 - nw % 32) % 32
         net = jnp.pad(net, ((0, ph), (0, pw), (0, 0)))
+        if compute_dtype is not None:
+            net = net.astype(compute_dtype)
         det = model.apply(variables, net)
         mask = merged_person_mask(
-            det, (H, W), (H / nh, W / nw), score_thresh
+            det, (H, W), (H / nh, W / nw), score_thresh,
+            paste_stride=paste_stride,
         )
         return mask.astype(jnp.float32)
 
     def segment_fn(prm, imgs):
-        return jax.vmap(lambda im: one(prm["pointrend"], im))(imgs)
+        variables = prm["pointrend"]
+        if compute_dtype is not None:
+            variables = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                variables,
+            )
+        return jax.vmap(lambda im: one(variables, im))(imgs)
 
     return segment_fn
 

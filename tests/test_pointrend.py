@@ -319,6 +319,117 @@ def test_person_segmenter_adapter(mirror_and_params):
         assert inst["pred_class"] == 0
 
 
+def test_merged_person_mask_paste_stride_latent_agreement():
+    """``paste_stride=8`` (the in-loop accelerator) must leave the *latent*
+    mask — the only thing the provoke step keeps after dilate ∧ default-mask
+    ∧ stride-8 downsample — unchanged except at cells whose 8x8 pixel block
+    straddles the stride-1 mask's pixel-level boundary (±1 cell)."""
+    from coma_tpu.models.diffusion.pipeline import (
+        binarize_mask, dilate_mask, downsample_mask)
+
+    H = 128
+    # solid elliptical logits — the shape class a 28x28 mask-head logit grid
+    # actually emits (smooth blob, positive interior). paste_stride is NOT
+    # claimed safe for sub-8px filigree; person masks aren't that.
+    yy, xx = np.mgrid[0:28, 0:28]
+    def blob(cy, cx, ry, rx):
+        r = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        return (4.0 * (1.0 - r)).astype(np.float32)
+    logits = np.stack([blob(14, 13, 11, 9), blob(12, 15, 9, 12),
+                       blob(15, 14, 12, 7)])
+    det = {
+        "boxes": jnp.asarray(
+            [[12, 9, 70, 101], [40, 33, 118, 120], [5, 60, 90, 126]], jnp.float32),
+        "classes": jnp.zeros((3,), jnp.int32),
+        "scores": jnp.asarray([0.9, 0.95, 0.9]),
+        "valid": jnp.ones((3,), bool),
+        "mask_logits": jnp.asarray(logits),
+    }
+    default_mask = np.zeros((1, H, H), np.float32)
+    default_mask[:, 8:120, 4:124] = 1.0
+    default_mask = jnp.asarray(default_mask)
+
+    def latent_mask(stride):
+        m = pr.merged_person_mask(det, (H, H), (1.0, 1.0), 0.5,
+                                  paste_stride=stride)
+        grown = dilate_mask(m[None].astype(jnp.float32), jnp.asarray(3))
+        adapted = jnp.logical_and(grown > 0, default_mask > 0).astype(jnp.float32)
+        lat = np.asarray(downsample_mask(binarize_mask(adapted), 8))
+        L = H // 8
+        return lat.reshape(L, L) > 0.5, np.asarray(adapted[0]) > 0.5
+
+    (l1, full1), (l8, _) = latent_mask(1), latent_mask(8)
+    assert l1.any() and l8.any()
+
+    def box3(a, op):  # 3x3 morphology in plain numpy
+        p = np.pad(a, 1, constant_values=False)
+        h, w = a.shape
+        return op([p[i:i + h, j:j + w] for i in range(3) for j in range(3)],
+                  axis=0)
+
+    # a latent cell may change only if its 8x8 pixel block (or a neighbor's)
+    # straddles the stride-1 pixel-level boundary
+    L = H // 8
+    blocks = full1.reshape(L, 8, L, 8).transpose(0, 2, 1, 3).reshape(L, L, 64)
+    straddles = blocks.any(-1) & ~blocks.all(-1)
+    allowed = box3(straddles, np.any)
+    diff = l1 != l8
+    assert not (diff & ~allowed).any(), "stride-8 changed a cell away from the boundary"
+    # this tiny 16x16-latent fixture is boundary-dominated; the realistic-
+    # scale IoU check lives in test_paste_stride_realistic_scale
+    iou = (l1 & l8).sum() / max((l1 | l8).sum(), 1)
+    assert iou >= 0.7, iou
+
+
+def test_paste_stride_realistic_scale():
+    """At production scale (512 px image, person-sized box, dilate 10) the
+    stride-4 latent mask is near-identical to stride-1 — the basis for
+    paste_stride=4 as the in-loop default."""
+    from coma_tpu.models.diffusion.pipeline import (
+        binarize_mask, dilate_mask, downsample_mask)
+
+    H = 512
+    yy, xx = np.mgrid[0:28, 0:28]
+    r = ((yy - 14) / 12.0) ** 2 + ((xx - 14) / 10.0) ** 2
+    det = {
+        "boxes": jnp.asarray([[150, 60, 360, 470]], jnp.float32),
+        "classes": jnp.zeros((1,), jnp.int32),
+        "scores": jnp.asarray([0.95]),
+        "valid": jnp.ones((1,), bool),
+        "mask_logits": jnp.asarray((4.0 * (1.0 - r)).astype(np.float32)[None]),
+    }
+
+    def latent_mask(stride):
+        m = pr.merged_person_mask(det, (H, H), (1.0, 1.0), 0.5,
+                                  paste_stride=stride)
+        grown = dilate_mask(m[None].astype(jnp.float32), jnp.asarray(10))
+        lat = np.asarray(downsample_mask(binarize_mask(grown), 8))
+        return lat.reshape(64, 64) > 0.5
+
+    l1, l4 = latent_mask(1), latent_mask(4)
+    iou = (l1 & l4).sum() / (l1 | l4).sum()
+    assert iou >= 0.99, iou
+
+
+@pytest.mark.slow
+def test_pointrend_segment_fn_bf16_smoke(mirror_and_params):
+    """The bf16 compute path jits and stays binary; box scores/NMS remain
+    f32 so detection count matches the f32 path on an easy input."""
+    _, variables = mirror_and_params
+    cfg = pr.PointRendConfig(
+        max_detections=4, test_size=64, pre_nms_topk=64, post_nms_topk=32,
+        box_candidates=32,
+    )
+    model = pr.PointRendModel(cfg)
+    fn = pr.make_pointrend_segment_fn(
+        model, compute_dtype=jnp.bfloat16, paste_stride=8)
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 96, 96, 3)),
+                       jnp.float32)
+    masks = jax.jit(fn)({"pointrend": variables}, imgs)
+    assert masks.shape == (2, 96, 96)
+    assert set(np.unique(np.asarray(masks))).issubset({0.0, 1.0})
+
+
 def test_preprocess_shapes():
     img = np.zeros((512, 512, 3), np.uint8)
     cfg = pr.PointRendConfig(test_size=160)
