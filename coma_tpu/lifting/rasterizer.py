@@ -141,18 +141,23 @@ def rasterize_attributes(
     width: int,
     chunk: int = 64,
     flip_y: bool = True,
+    tri_aux: jax.Array = None,  # (T, 3, K) per-corner attributes, or None
 ):
     """Z-buffered attribute pass: returns (zbuf, uv (H, W, 2), mat (H, W),
-    normal (H, W, 3)) for the nearest triangle per pixel. One scan over
-    triangle chunks, winner-take-all by depth — the textured counterpart of
-    :func:`rasterize_depth` (the reference gets this from Cycles,
-    ``utils/blenderproc.py:161-180``)."""
+    normal (H, W, 3)[, aux (H, W, K)]) for the nearest triangle per pixel.
+    One scan over triangle chunks, winner-take-all by depth — the textured
+    counterpart of :func:`rasterize_depth` (the reference gets this from
+    Cycles, ``utils/blenderproc.py:161-180``). ``tri_aux`` is interpolated
+    barycentrically like the UVs (used for world positions in the shadow
+    pass)."""
     T = tri_px.shape[0]
     Tp = _round_up(max(T, 1), chunk)
     tri_px = jnp.pad(tri_px, ((0, Tp - T), (0, 0), (0, 0)))
     tri_uv = jnp.pad(tri_uv, ((0, Tp - T), (0, 0), (0, 0)))
     tri_mat = jnp.pad(tri_mat, (0, Tp - T))
     tri_n = jnp.pad(tri_n, ((0, Tp - T), (0, 0)))
+    if tri_aux is not None:
+        tri_aux = jnp.pad(tri_aux, ((0, Tp - T), (0, 0), (0, 0)))
 
     ys = jnp.arange(height, dtype=tri_px.dtype) + 0.5
     if flip_y:
@@ -161,7 +166,7 @@ def rasterize_attributes(
     px = xs[None, :]
     py = ys[:, None]
 
-    def chunk_attrs(tri, uv, mat, nrm):
+    def chunk_attrs(tri, uv, mat, nrm, aux):
         x0, y0, z0 = tri[:, 0, 0], tri[:, 0, 1], tri[:, 0, 2]
         x1, y1, z1 = tri[:, 1, 0], tri[:, 1, 1], tri[:, 1, 2]
         x2, y2, z2 = tri[:, 2, 0], tri[:, 2, 1], tri[:, 2, 2]
@@ -190,27 +195,39 @@ def rasterize_attributes(
             + uw[..., None] * (uv[win, 1] - uv[win, 0])
             + vw[..., None] * (uv[win, 2] - uv[win, 0])
         )  # (H, W, 2)
-        return zw, uv_w, mat[win], nrm[win]
+        if aux is None:
+            return zw, uv_w, mat[win], nrm[win], None
+        aux_w = (
+            aux[win, 0]
+            + uw[..., None] * (aux[win, 1] - aux[win, 0])
+            + vw[..., None] * (aux[win, 2] - aux[win, 0])
+        )  # (H, W, K)
+        return zw, uv_w, mat[win], nrm[win], aux_w
 
     def body(carry, xs_):
-        zbuf, uv_img, mat_img, n_img = carry
-        zw, uv_w, mat_w, n_w = chunk_attrs(*xs_)
+        zbuf, uv_img, mat_img, n_img, aux_img = carry
+        zw, uv_w, mat_w, n_w, aux_w = chunk_attrs(*xs_)
         better = zw < zbuf
         return (
             jnp.where(better, zw, zbuf),
             jnp.where(better[..., None], uv_w, uv_img),
             jnp.where(better, mat_w, mat_img),
             jnp.where(better[..., None], n_w, n_img),
+            None if aux_img is None
+            else jnp.where(better[..., None], aux_w, aux_img),
         ), None
 
+    K = 0 if tri_aux is None else tri_aux.shape[-1]
     carry0 = (
         jnp.full((height, width), jnp.inf, tri_px.dtype),
         jnp.zeros((height, width, 2), tri_px.dtype),
         jnp.zeros((height, width), tri_mat.dtype),
         jnp.zeros((height, width, 3), tri_px.dtype),
+        None if tri_aux is None
+        else jnp.zeros((height, width, K), tri_px.dtype),
     )
     n = Tp // chunk
-    (zbuf, uv_img, mat_img, n_img), _ = jax.lax.scan(
+    (zbuf, uv_img, mat_img, n_img, aux_img), _ = jax.lax.scan(
         body,
         carry0,
         (
@@ -218,12 +235,16 @@ def rasterize_attributes(
             tri_uv.reshape(n, chunk, 3, 2),
             tri_mat.reshape(n, chunk),
             tri_n.reshape(n, chunk, 3),
+            None if tri_aux is None else tri_aux.reshape(n, chunk, 3, K),
         ),
     )
-    return zbuf, uv_img, mat_img, n_img
+    if tri_aux is None:
+        return zbuf, uv_img, mat_img, n_img
+    return zbuf, uv_img, mat_img, n_img, aux_img
 
 
-@partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y"))
+@partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y",
+                                   "shadow_res", "pcf"))
 def render_textured(
     tri_px: jax.Array,    # (T, 3, 3)
     tri_uv: jax.Array,    # (T, 3, 2)
@@ -238,14 +259,32 @@ def render_textured(
                                      # at (0, 0, 10), blenderproc.py:108)
     ambient: float = 0.35,
     background: float = 1.0,
+    tri_w: jax.Array = None,  # (T, 3, 3) world-space triangles -> shadows on
+    shadow_casters: jax.Array = None,  # (C, 3, 3) caster subset (default all;
+                                       # pass the object only when the ground
+                                       # is a huge quad — it can't cast)
+    shadow_res: int = 512,
+    shadow_bias_px: float = 2.0,
+    pcf: int = 3,             # PCF kernel width (odd), softens the penumbra
 ):
     """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
 
     UV sampling is bilinear with wrap (OBJ convention, v up); shading is
-    two-sided diffuse against a directional light + ambient."""
-    zbuf, uv_img, mat_img, n_img = rasterize_attributes(
-        tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y
-    )
+    two-sided diffuse against a directional light + ambient. When ``tri_w``
+    (world-space triangles) is given, a second depth-only raster pass from
+    the light direction produces a shadow map and the direct term is gated
+    by a ``pcf``² percentage-closer filter — the contact shadows the
+    reference gets from Cycles (area light + GI, ``blenderproc.py:100-113``,
+    ``:161-180``)."""
+    if tri_w is None:
+        zbuf, uv_img, mat_img, n_img = rasterize_attributes(
+            tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y
+        )
+    else:
+        zbuf, uv_img, mat_img, n_img, pos_img = rasterize_attributes(
+            tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y,
+            tri_aux=tri_w,
+        )
     covered = jnp.isfinite(zbuf)
     M, S, _, _ = textures.shape
     # wrap UVs; OBJ v runs bottom-up
@@ -267,7 +306,54 @@ def render_textured(
     light = jnp.asarray(light_dir, tri_px.dtype)
     light = light / jnp.linalg.norm(light)
     lambert = jnp.abs(n_img @ light)  # two-sided
-    shade = ambient + (1.0 - ambient) * lambert
+
+    if tri_w is None:
+        lit = 1.0
+    else:
+        # light-space orthographic basis (z along -light: depth grows away
+        # from the light)
+        up = jnp.where(jnp.abs(light[2]) < 0.9,
+                       jnp.asarray([0.0, 0.0, 1.0], light.dtype),
+                       jnp.asarray([0.0, 1.0, 0.0], light.dtype))
+        lx = jnp.cross(up, light)
+        lx = lx / jnp.linalg.norm(lx)
+        ly = jnp.cross(light, lx)
+        basis = jnp.stack([lx, ly, -light], axis=-1)  # world -> light coords
+        casters = tri_w if shadow_casters is None else shadow_casters
+        lverts = casters.reshape(-1, 3) @ basis  # (3C, 3)
+        lo = jnp.min(lverts[:, :2], axis=0)
+        hi = jnp.max(lverts[:, :2], axis=0)
+        span = jnp.maximum(jnp.max(hi - lo), 1e-6)
+        px_per_world = (shadow_res - 2.0) / span
+
+        def to_shadow_px(p):  # light coords -> shadow-map pixel coords
+            xy = (p[..., :2] - lo) * px_per_world + 1.0
+            z = p[..., 2] * px_per_world  # depth in the same pixel scale
+            return jnp.concatenate([xy, z[..., None]], axis=-1)
+
+        shadow_z = rasterize_depth(
+            to_shadow_px(lverts).reshape(-1, 3, 3), shadow_res, shadow_res,
+            chunk=chunk, flip_y=False,
+        )
+        sp = to_shadow_px(pos_img @ basis)  # (H, W, 3)
+        # pixels outside the caster footprint cannot be shadowed
+        inb = (
+            (sp[..., 0] >= 0) & (sp[..., 0] <= shadow_res - 1)
+            & (sp[..., 1] >= 0) & (sp[..., 1] <= shadow_res - 1)
+        )
+        r = pcf // 2
+        taps = []
+        for dy in range(-r, pcf - r):
+            for dx in range(-r, pcf - r):
+                iy = jnp.clip(jnp.round(sp[..., 1]).astype(jnp.int32) + dy,
+                              0, shadow_res - 1)
+                ix = jnp.clip(jnp.round(sp[..., 0]).astype(jnp.int32) + dx,
+                              0, shadow_res - 1)
+                taps.append(sp[..., 2] <= shadow_z[iy, ix] + shadow_bias_px)
+        lit = jnp.mean(jnp.stack(taps).astype(tri_px.dtype), axis=0)
+        lit = jnp.where(inb, lit, 1.0)
+
+    shade = ambient + (1.0 - ambient) * lambert * lit
     rgb = tex * shade[..., None]
     rgb = jnp.where(covered[..., None], rgb, background)
     return jnp.clip(rgb, 0.0, 1.0), covered

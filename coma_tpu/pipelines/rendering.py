@@ -252,12 +252,16 @@ def render_object_views_textured(
     tmesh,                       # geometry.mesh.TexturedMesh (topology/UV/mats)
     ground_z: float = 0.0,
     ground_color: float = 0.78,
+    shadows: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Object segmap + textured Lambertian RGB over a ground plane.
 
     The RGB counterpart of the reference's Cycles render with MTL textures
     (``render_objects.py:90,309``; scene = asset + plane + area light,
-    ``utils/blenderproc.py:100-113``). Returns (seg uint8, rgb uint8)."""
+    ``utils/blenderproc.py:100-113``). ``shadows`` adds the shadow-mapped
+    directional light (contact shadow under grounded objects — what the
+    reference's Cycles area light produces). Returns (seg uint8, rgb
+    uint8)."""
     from coma_tpu.lifting.rasterizer import render_textured
 
     verts_j = jnp.asarray(verts, jnp.float32)
@@ -300,9 +304,21 @@ def render_object_views_textured(
     tri_mat = np.concatenate([tri_mat, np.full(2, M, np.int32)])
     tri_n = np.concatenate([n, np.tile([[0.0, 0.0, 1.0]], (2, 1))]).astype(np.float32)
 
+    shadow_kw = {}
+    if shadows:
+        # world-space receivers = object + ground; casters = object only
+        # (a flat ground quad cannot cast onto anything above it, and its
+        # 1e4 extent would otherwise dwarf the shadow-map footprint)
+        tri_w = np.concatenate(
+            [v.astype(np.float32)[faces], gverts[np.array([[0, 1, 2], [0, 2, 3]])]]
+        )
+        shadow_kw = dict(
+            tri_w=jnp.asarray(tri_w),
+            shadow_casters=jnp.asarray(v.astype(np.float32)[faces]),
+        )
     rgb, _ = render_textured(
         jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
-        jnp.asarray(tri_n), jnp.asarray(textures), H, W,
+        jnp.asarray(tri_n), jnp.asarray(textures), H, W, **shadow_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)
 

@@ -204,3 +204,76 @@ def test_discover_sketchfab_categories_module(tmp_path):
         "SKETCHFAB", {"SKETCHFAB": str(root)}, restrict_to_whitelist=False
     )
     assert found == [("Gym", "dumbbell", "model_a", f"{root}/Gym/model_a/model.obj")]
+
+
+# ------------------------------------------------------------- shadows
+
+
+def test_shadow_pass_directional():
+    """VERDICT r2 item 6: a floating quad under a tilted light casts a
+    displaced shadow onto the ground plane (reference: Cycles area light,
+    ``utils/blenderproc.py:100-113``)."""
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    # ground quad z=0 over [-2,2]², occluder quad z=1 over [-0.5,0.5]²
+    g = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32)
+    o = g * 0.25 + [0, 0, 1]
+    quads = np.array([[0, 1, 2], [0, 2, 3]])
+    tri_w = np.concatenate([g[quads], o[quads]])
+    # overhead orthographic camera: x right, y up, depth = -z
+    px = (tri_w[..., :2] + 2.0) / 4.0 * 64.0
+    tri_px = np.concatenate([px, -tri_w[..., 2:]], axis=-1)
+    tri_uv = np.zeros((4, 3, 2), np.float32)
+    tri_mat = np.zeros(4, np.int32)
+    tri_n = np.tile([[0.0, 0.0, 1.0]], (4, 1)).astype(np.float32)
+    tex = np.full((1, 4, 4, 3), 1.0, np.float32)
+
+    def render(**kw):
+        rgb, _ = render_textured(
+            jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
+            jnp.asarray(tri_n), jnp.asarray(tex), 64, 64, flip_y=False,
+            light_dir=(1.0, 0.0, 1.0), ambient=0.3, **kw,
+        )
+        return np.asarray(rgb)
+
+    lit = render()
+    shad = render(tri_w=jnp.asarray(tri_w))
+    # light from +x overhead: ground at x=-1 (pixel x≈16) is in shadow,
+    # ground at x=+1 (pixel x≈48) is lit; y=0 -> pixel y≈32
+    assert shad[32, 16].mean() < shad[32, 48].mean() - 0.2
+    # the shadowed pixel falls to the ambient floor
+    np.testing.assert_allclose(shad[32, 16].mean(), lit[32, 16].mean() * 0.3
+                               / (0.3 + 0.7 * abs(2 ** -0.5)), atol=0.1)
+    # without tri_w nothing darkens
+    assert abs(lit[32, 16].mean() - lit[32, 48].mean()) < 1e-5
+    # the occluder itself stays lit on top
+    assert shad[32, 32].mean() > shad[32, 16].mean() + 0.2
+
+
+def test_render_object_views_textured_contact_shadow(textured_quad):
+    """Pipeline-level: a grounded object produces a contact shadow in the
+    default (shadows=True) render and none with shadows=False."""
+    from coma_tpu.pipelines.rendering import (
+        build_camera_ring,
+        render_object_views_textured,
+    )
+
+    m = load_obj_textured(textured_quad)
+    # tilt the quad so it stands above the ground and can cast
+    verts = m.vertices.astype(np.float64).copy()
+    verts[:, 2] = verts[:, 1] * 0.5 + 0.6  # slanted, hovering near ground
+    cams = build_camera_ring(
+        length_z=1.0, ortho_scale_world=6.0, view_num=1,
+        elevation_deg=45.0, resolution=(64, 64),
+    )
+    seg_s, rgb_s = render_object_views_textured(cams[0], verts, m)
+    seg_n, rgb_n = render_object_views_textured(cams[0], verts, m,
+                                                shadows=False)
+    np.testing.assert_array_equal(seg_s, seg_n)  # segmap untouched
+    ground_s = rgb_s[seg_s == 0].astype(np.float32)
+    ground_n = rgb_n[seg_n == 0].astype(np.float32)
+    # shadows only darken; some ground pixels darken a lot
+    assert float(ground_s.min()) < float(ground_n.min()) - 30
+    assert float((ground_n.astype(np.int32) - ground_s).min()) >= 0
