@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "the in-loop PointRend (latent-mask IoU vs exact "
                              ">= 0.99 at production scale, "
                              "tests/test_pointrend.py)")
+    parser.add_argument("--pointrend_scale_native", action="store_true",
+                        help="run the in-loop detector at the pipeline's own "
+                             "512 px scale instead of d2's shortest-edge-800 "
+                             "resize (2.4x less backbone work; single-person "
+                             "candidate budget)")
     parser.add_argument("--random_weights", action="store_true")
     parser.add_argument("--tiny", action="store_true",
                         help="tiny model configs at 64x64 (hermetic smoke runs)")
@@ -212,6 +217,10 @@ def build_pipeline(args):
             pr_cfg = PointRendConfig(max_detections=4, test_size=64,
                                      pre_nms_topk=64, post_nms_topk=32,
                                      box_candidates=32)
+        elif args.pointrend_scale_native:
+            pr_cfg = PointRendConfig(test_size=512, pre_nms_topk=256,
+                                     post_nms_topk=128, box_candidates=64,
+                                     max_detections=8)
         else:
             pr_cfg = PointRendConfig(max_detections=20)
         pr_model = PointRendModel(pr_cfg)
