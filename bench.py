@@ -162,7 +162,7 @@ RES, LAT, BATCH, STEPS = 512, 64, 16, 50
 
 
 def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
-                    pointrend_fast: bool = False):
+                    pointrend_fast: bool = False, provoke_crop_latent: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -230,6 +230,7 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
         config=AdaptiveMaskConfig(
             num_inference_steps=STEPS,
             provoke_decode_factor=provoke_decode_factor,
+            provoke_crop_latent=provoke_crop_latent,
         ),
     )
     return pipe, params, unet_fn, ucfg
@@ -248,10 +249,18 @@ def bench_inpaint():
     # barrier, so every timed region ends with a scalar fetch.
     fetch = lambda x: float(jnp.sum(x))
 
-    def run_one(**kw):
+    def run_one(mask_box: int = 0, **kw):
         pipe, params, unet_fn, ucfg = _build_pipeline(**kw)
         img = jnp.zeros((BATCH, RES, RES, 3))
-        mask = jnp.ones((BATCH, RES, RES))
+        if mask_box:
+            # a realistic person-extent default mask (crop mode anchors its
+            # decode window on the mask bbox; throughput of the OTHER modes
+            # is mask-content-independent, so rates stay comparable)
+            lo, hi = (RES - mask_box) // 2, (RES + mask_box) // 2
+            mask = jnp.zeros((BATCH, RES, RES)
+                             ).at[:, lo:hi, lo - 24:hi - 40].set(1.0)
+        else:
+            mask = jnp.ones((BATCH, RES, RES))
         emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
         neg = jnp.zeros_like(emb)
         gen = jax.jit(pipe.generate_p)
@@ -266,6 +275,15 @@ def bench_inpaint():
 
     imgs_per_sec = run_one(provoke_decode_factor=1)
     imgs_per_sec_fast = run_one(provoke_decode_factor=2)
+    # crop mode (`--provoke_crop`): decode/segment/re-encode only the
+    # default-mask bbox window. Bucket chosen exactly as the CLI does, from
+    # a typical person-extent mask (~200 px tall -> latent bucket 40).
+    from coma_tpu.models.diffusion.pipeline import choose_crop_latent
+
+    _box = np.zeros((1, RES, RES), np.float32)
+    _box[:, 156:356, 132:316] = 1.0
+    crop_bucket = choose_crop_latent(_box)
+    imgs_per_sec_crop = run_one(mask_box=200, provoke_crop_latent=crop_bucket)
     # the reference-faithful in-loop segmenter family (PointRend R50-FPN,
     # scale-native 512) — exact masks, and the bf16+stride-4 fast paste
     imgs_per_sec_pr = run_one(segmenter="pointrend")
@@ -295,8 +313,8 @@ def bench_inpaint():
     float(tot)
     step_s = (time.perf_counter() - t0) / n
     mfu = flops / step_s / V5E_BF16_PEAK
-    return (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_pr,
-            imgs_per_sec_pr_fast, step_s, mfu)
+    return (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
+            imgs_per_sec_pr, imgs_per_sec_pr_fast, step_s, mfu)
 
 
 def bench_inpaint_torch_cpu() -> float:
@@ -337,8 +355,8 @@ def main():
 
     enable_compilation_cache()
 
-    (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_pr, imgs_per_sec_pr_fast,
-     unet_step_s, mfu) = bench_inpaint()
+    (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
+     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = bench_inpaint()
     try:
         inpaint_base = bench_inpaint_torch_cpu()
     except Exception:
@@ -376,6 +394,10 @@ def main():
                 ),
                 "extra": {
                     "hoi_2d_images_per_sec_fast_mode": round(imgs_per_sec_fast, 4),
+                    # bbox-window provoke rounds (`--provoke_crop auto`);
+                    # measured with a ~200 px person-extent default mask
+                    "hoi_2d_images_per_sec_crop_mode": round(imgs_per_sec_crop, 4),
+                    "crop_mode_latent_bucket": crop_bucket,
                     # reference-faithful in-loop segmenter (PointRend R50-FPN
                     # at scale-native 512; the reference's default backend)
                     "hoi_2d_images_per_sec_pointrend_loop": round(imgs_per_sec_pr, 4),

@@ -116,6 +116,7 @@ def fused_contact_update_batch(
     obj_normals: jax.Array,    # (B, O, 3)
     valid=None,
     slab: int = 8,
+    lane_block=None,
 ) -> ComAState:
     """Drop-in replacement for ``contact_update_batch`` with the splat fused.
 
@@ -144,13 +145,26 @@ def fused_contact_update_batch(
     Hp, Np = _round_up(H, tile_h), _round_up(N, 8)
     # very large O (quant:full O=2048) must tile the lane dim or the
     # (TH, Np, Op) block overflows VMEM; O<=1536 keeps the full-dim block
-    # (measured: Op=1504 compiles and the 1-D grid is faster than tiling)
+    # (measured: Op=1504 compiles and the 1-D grid is faster than tiling).
+    # Wide-O shapes additionally lane-block INSIDE the kernel (v4): the
+    # per-slab canon rows at TO>512 spill the vreg file (see
+    # _canon_splat_kernel); padding O to the lane-block multiple costs the
+    # same physical vregs (1500 -> 1536 either way).
     if O > 1536:
         tile_o = 512
         Op = _round_up(O, tile_o)
+        if lane_block is None:
+            lane_block = 256
+    elif O > 512:
+        if lane_block is None:
+            lane_block = 256
+        Op = _round_up(O, lane_block) if lane_block else _round_up(O, 8)
+        tile_o = Op
     else:
         Op = _round_up(O, 8)
         tile_o = Op
+        if lane_block is None:
+            lane_block = 0
     to_t = lambda a: jnp.pad(
         jnp.swapaxes(a, 1, 2), ((0, Hp - H), (0, Np - N), (0, Op - O))
     )
@@ -176,7 +190,7 @@ def fused_contact_update_batch(
             normalize_vectors(s.principle_vec[None], s.eps)[0],
             normalize_vectors(s.sub_principle_vec[None], s.eps)[0],
             sigma=s.normal_gaussian_sigma, eps=s.eps, tile_h=tile_h,
-            tile_o=tile_o,
+            tile_o=tile_o, lane_block=lane_block,
         )
         return (
             ph_p,
@@ -245,6 +259,7 @@ def _canon_splat_kernel(
     v_ref,                    # (S, 1) SMEM validity
     ph_in, po_in, ph_out, po_out,   # aliased accumulators (TH, Np, TO)
     *, S: int, TH: int, sigma: float, eps: float, geo2_poly=None,
+    lane_block: int = 0,
 ):
     # Register-pressure blocking (v3): the (Np, TO) accumulator pair alone
     # is ~128 vregs — holding both plus the splat temporaries live spills
@@ -254,6 +269,17 @@ def _canon_splat_kernel(
     # file: NB=8 × slab=8 measures 71 -> 98 samples/s at the qual config.
     NB = _pick_n_blocks(g_ref.shape[0])
     CH = g_ref.shape[0] // NB
+    # Lane blocking (v4): at wide TO the per-s canon rows alone (6 comps ×
+    # S slabs × TO/128 vregs — 576 vregs at TO=1536) exceed the vreg file,
+    # and the spill round-trips halve the per-element rate vs the qual
+    # shape (TO=256). The canon epilogue is per-LANE work, so chunking the
+    # lane axis costs nothing extra: only the lane-INDEPENDENT human-normal
+    # scalars are hoisted and shared across chunks.
+    TO = ox_ref.shape[1]
+    CO = TO
+    if lane_block and lane_block % 128 == 0 and TO % lane_block == 0:
+        CO = min(lane_block, TO)
+    OB = TO // CO
     px, py, pz = pq_ref[0, 0], pq_ref[1, 0], pq_ref[2, 0]
     qx, qy, qz = pq_ref[3, 0], pq_ref[4, 0], pq_ref[5, 0]
     inv_s2 = 1.0 / (sigma * sigma)
@@ -266,8 +292,9 @@ def _canon_splat_kernel(
         return jnp.exp(-(geo * geo) * inv_s2)
 
     def h_body(h, _):
-        # canon epilogue per (h, s) — N-independent, computed once per pair
-        canon_rows = []
+        # lane-independent scalars per (h, s): normalized human normal and
+        # its p/q dots — computed once per pair, shared across lane chunks
+        h_scal = []
         for s in range(S):
             v = v_ref[s, 0]
             # --- normalized inputs (matches canonicalize_pairwise's
@@ -275,17 +302,44 @@ def _canon_splat_kernel(
             hx0, hy0, hz0 = hx_ref[h, s], hy_ref[h, s], hz_ref[h, s]
             hn_n = jnp.maximum(jnp.sqrt(hx0 * hx0 + hy0 * hy0 + hz0 * hz0), eps)
             hx, hy, hz = hx0 / hn_n, hy0 / hn_n, hz0 / hn_n
-            ox0 = ox_ref[s, :][None, :]          # (1, TO)
-            oy0 = oy_ref[s, :][None, :]
-            oz0 = oz_ref[s, :][None, :]
+            h_dot_p = hx * px + hy * py + hz * pz          # scalar
+            h_dot_q = hx * qx + hy * qy + hz * qz
+            h_scal.append((v, hx, hy, hz, h_dot_p, h_dot_q))
+
+        _splat_lane_chunks(
+            h, h_scal, ox_ref, oy_ref, oz_ref, g_ref,
+            ph_in, po_in, ph_out, po_out,
+            S=S, NB=NB, CH=CH, CO=CO, OB=OB, eps=eps, gauss=gauss,
+            p=(px, py, pz), q=(qx, qy, qz),
+        )
+        return 0
+
+    jax.lax.fori_loop(0, TH, h_body, 0)
+
+
+def _splat_lane_chunks(h, h_scal, ox_ref, oy_ref, oz_ref, g_ref,
+                       ph_in, po_in, ph_out, po_out,
+                       *, S, NB, CH, CO, OB, eps, gauss, p, q):
+    """Canon epilogue + splat for one h row, one CO-wide lane chunk at a
+    time (v4): keeps the (1, CO) canon rows + (CH, CO) accumulator blocks
+    inside the vreg file at wide-O shapes."""
+    px, py, pz = p
+    qx, qy, qz = q
+    for ob in range(OB):
+        olo = ob * CO
+        # canon epilogue per (h, s, chunk) — N-independent
+        canon_rows = []
+        for s in range(S):
+            v, hx, hy, hz, h_dot_p, h_dot_q = h_scal[s]
+            ox0 = ox_ref[s, olo:olo + CO][None, :]          # (1, CO)
+            oy0 = oy_ref[s, olo:olo + CO][None, :]
+            oz0 = oz_ref[s, olo:olo + CO][None, :]
             on_n = jnp.maximum(jnp.sqrt(ox0 * ox0 + oy0 * oy0 + oz0 * oz0), eps)
             ox, oy, oz = ox0 / on_n, oy0 / on_n, oz0 / on_n
 
             # shared pair terms
-            a_dot_b = hx * ox + hy * oy + hz * oz          # (1, TO) h·o
-            h_dot_p = hx * px + hy * py + hz * pz          # scalar
-            h_dot_q = hx * qx + hy * qy + hz * qz
-            o_dot_p = ox * px + oy * py + oz * pz          # (1, TO)
+            a_dot_b = hx * ox + hy * oy + hz * oz          # (1, CO) h·o
+            o_dot_p = ox * px + oy * py + oz * pz          # (1, CO)
             o_dot_q = ox * qx + oy * qy + oz * qz
 
             def canon(aw, wk, inv, sing, c, ak, apk, bk, flipk):
@@ -327,17 +381,22 @@ def _canon_splat_kernel(
             gx = g_ref[lo:hi, 0][:, None]
             gy = g_ref[lo:hi, 1][:, None]
             gz = g_ref[lo:hi, 2][:, None]
-            acc_h = ph_in[h, lo:hi]
-            acc_o = po_in[h, lo:hi]
+            if OB == 1:
+                acc_h = ph_in[h, lo:hi]
+                acc_o = po_in[h, lo:hi]
+            else:
+                acc_h = ph_in[h, lo:hi, olo:olo + CO]
+                acc_o = po_in[h, lo:hi, olo:olo + CO]
             for s in range(S):
                 v, (cxh, cyh, czh), (cxo, cyo, czo) = canon_rows[s]
                 acc_h = acc_h + v * gauss(gx * cxh + gy * cyh + gz * czh)
                 acc_o = acc_o + v * gauss(gx * cxo + gy * cyo + gz * czo)
-            ph_out[h, lo:hi] = acc_h
-            po_out[h, lo:hi] = acc_o
-        return 0
-
-    jax.lax.fori_loop(0, TH, h_body, 0)
+            if OB == 1:
+                ph_out[h, lo:hi] = acc_h
+                po_out[h, lo:hi] = acc_o
+            else:
+                ph_out[h, lo:hi, olo:olo + CO] = acc_h
+                po_out[h, lo:hi, olo:olo + CO] = acc_o
 
 
 def canon_splat_accumulate_padded(
@@ -353,6 +412,7 @@ def canon_splat_accumulate_padded(
     eps: float,
     tile_h: int = 8,
     tile_o: int = 0,
+    lane_block: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """v2 entry: canonicalize + splat + accumulate, one HBM pass per slab."""
     S, H, _ = human_normals.shape
@@ -391,7 +451,7 @@ def canon_splat_accumulate_padded(
 
     kernel = functools.partial(
         _canon_splat_kernel, S=S, TH=tile_h, sigma=float(sigma), eps=float(eps),
-        geo2_poly=_fit_geo2_poly(float(sigma)),
+        geo2_poly=_fit_geo2_poly(float(sigma)), lane_block=int(lane_block),
     )
     return pl.pallas_call(
         kernel,

@@ -78,3 +78,32 @@ def test_fused_large_sigma_exact_path(rng):
         np.asarray(ref.prob_grid_canon_human_wrt_obj),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_fused_lane_blocked_wide_o(rng):
+    """v4 lane blocking (O > 512 auto-selects CO=256 chunks; see
+    _canon_splat_kernel) matches the reference path bit-for-... closely.
+
+    O=520 forces Op=768 (lane-block-aligned padding) with OB=3 chunks while
+    staying small enough for the interpreter.
+    """
+    Hs, Os, Ns = 16, 520, 16
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    hv = jnp.asarray(rng.normal(size=(4, Hs, 3)) * 0.3, dtype=jnp.float32)
+    hn = jnp.asarray(unit(rng.normal(size=(4, Hs, 3))), dtype=jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(4, Os, 3)) * 0.3, dtype=jnp.float32)
+    on = jnp.asarray(unit(rng.normal(size=(4, Os, 3))), dtype=jnp.float32)
+    state = init_coma_state(Hs, Os, Ns, 0.07, 0.24, 0.25)
+    ref = contact_update_batch(state, hv, hn, ov, on)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on)  # auto CO
+        explicit = fused_contact_update_batch(state, hv, hn, ov, on,
+                                              lane_block=256)
+    for f in ("prob_grid_canon_human_wrt_obj", "prob_grid_canon_obj_wrt_human"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-4, atol=1e-5,
+        )
+        # the explicit-CO path and the auto path run the same program
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(explicit, f)))
