@@ -69,13 +69,29 @@ def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS) -> float:
     del state
     float(out.used_count)  # force completion
 
-    t0 = time.perf_counter()
-    out2 = step(out, hv, hn, ov, on)
-    del out
-    float(out2.used_count)
-    dt = time.perf_counter() - t0
-    del out2
-    return iters / dt
+    # The axon tunnel charges a measured ~30-55 ms fixed tax on every
+    # host value fetch. Production (extract_coma) runs many batch steps
+    # back-to-back with ONE final fetch, so the honest rate is the
+    # sustained per-step time: time a 1-chain and a 2-chain region (each
+    # ending in a single fetch) and difference out the fixed tax. Chains
+    # stay at depth 2 because un-donatable multi-GB accumulator pairs
+    # (see docs/KERNELS.md "Donation of aliased pallas buffers") pile up
+    # in HBM while dispatches are in flight.
+    def timed(chain):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cur = out
+            for _ in range(chain):
+                cur = step(cur, hv, hn, ov, on)
+            float(cur.used_count)
+            best = min(best, time.perf_counter() - t0)
+            del cur
+        return best
+
+    w1 = timed(1)
+    w2 = timed(2)
+    return iters / max(w2 - w1, 1e-9)
 
 
 def bench_occupancy_tpu() -> float:
@@ -95,13 +111,24 @@ def bench_occupancy_tpu() -> float:
     out = step(state, hv, ov)
     del state
     float(out.used_count)
-    t0 = time.perf_counter()
-    out2 = step(out, hv, ov)
-    del out
-    float(out2.used_count)
-    dt = time.perf_counter() - t0
-    del out2
-    return TPU_ITERS / dt
+
+    # sustained rate with the axon fetch tax differenced out (see
+    # bench_coma_tpu for the rationale)
+    def timed(chain):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cur = out
+            for _ in range(chain):
+                cur = step(cur, hv, ov)
+            float(cur.used_count)
+            best = min(best, time.perf_counter() - t0)
+            del cur
+        return best
+
+    w1 = timed(1)
+    w2 = timed(2)
+    return TPU_ITERS / max(w2 - w1, 1e-9)
 
 
 def bench_coma_torch_cpu() -> float:

@@ -149,15 +149,18 @@ def fused_contact_update_batch(
     # Wide-O shapes additionally lane-block INSIDE the kernel (v4): the
     # per-slab canon rows at TO>512 spill the vreg file (see
     # _canon_splat_kernel); padding O to the lane-block multiple costs the
-    # same physical vregs (1500 -> 1536 either way).
+    # same physical vregs (1500 -> 1536 either way). CO=512 measures ~2%
+    # faster than 256 at both production wide-O shapes (v4 sweep, see
+    # docs/KERNELS.md); auto-pick prefers it when the 256-padded width
+    # divides by 512 so narrower O never over-pads just to enable it.
     if O > 1536:
         tile_o = 512
         Op = _round_up(O, tile_o)
         if lane_block is None:
-            lane_block = 256
+            lane_block = 512
     elif O > 512:
         if lane_block is None:
-            lane_block = 256
+            lane_block = 512 if _round_up(O, 256) % 512 == 0 else 256
         Op = _round_up(O, lane_block) if lane_block else _round_up(O, 8)
         tile_o = Op
     else:
