@@ -377,17 +377,33 @@ def bench_inpaint_torch_cpu() -> float:
     return 1.0 / per_image
 
 
+def _try(label, fn, default=None):
+    """Degrade gracefully: a TPU-worker fault in one section must not sink
+    the whole bench — emit the JSON line with whatever was measured."""
+    import sys
+    import traceback
+
+    try:
+        return fn()
+    except Exception:
+        print(f"bench section FAILED: {label}", file=sys.stderr)
+        traceback.print_exc(limit=3)
+        return default
+
+
+def _round(x, nd):
+    return round(x, nd) if isinstance(x, (int, float)) else None
+
+
 def main():
     from coma_tpu.cli._common import enable_compilation_cache
 
     enable_compilation_cache()
 
     (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
-     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = bench_inpaint()
-    try:
-        inpaint_base = bench_inpaint_torch_cpu()
-    except Exception:
-        inpaint_base = None
+     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = _try(
+        "inpaint", bench_inpaint, default=(None,) * 8)
+    inpaint_base = _try("inpaint torch baseline", bench_inpaint_torch_cpu)
 
     # measured mini-category end-to-end (VERDICT r2 item 7): real stage CLIs
     # as subprocesses, host overheads included; see bench_e2e.py
@@ -400,39 +416,36 @@ def main():
         except Exception as e:  # never sink the whole bench on the e2e drive
             mini = {"error": str(e)[:300]}
 
-    coma_tpu_sps = bench_coma_tpu()
+    coma_tpu_sps = _try("coma qual", bench_coma_tpu)
     # the other two production grid shapes (constants/coma/{qual,quant}.py)
-    coma_objcontact_sps = bench_coma_tpu(h=1000, o=1500, iters=16)
-    coma_quantfull_sps = bench_coma_tpu(h=750, o=2048, iters=16)
-    occupancy_sps = bench_occupancy_tpu()
-    try:
-        coma_base = bench_coma_torch_cpu()
-    except Exception:
-        coma_base = None
+    coma_objcontact_sps = _try(
+        "coma object-contact", lambda: bench_coma_tpu(h=1000, o=1500, iters=16))
+    coma_quantfull_sps = _try(
+        "coma quant-full", lambda: bench_coma_tpu(h=750, o=2048, iters=16))
+    occupancy_sps = _try("occupancy", bench_occupancy_tpu)
+    coma_base = _try("coma torch baseline", bench_coma_torch_cpu)
 
     print(
         json.dumps(
             {
                 "metric": "hoi_2d_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 4),
+                "value": _round(imgs_per_sec, 4),
                 "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
                 "vs_baseline": (
-                    round(imgs_per_sec / inpaint_base, 2) if inpaint_base else None
+                    round(imgs_per_sec / inpaint_base, 2) if (inpaint_base and imgs_per_sec) else None
                 ),
                 "extra": {
-                    "hoi_2d_images_per_sec_fast_mode": round(imgs_per_sec_fast, 4),
+                    "hoi_2d_images_per_sec_fast_mode": _round(imgs_per_sec_fast, 4),
                     # bbox-window provoke rounds (`--provoke_crop auto`);
                     # measured with a ~200 px person-extent default mask
-                    "hoi_2d_images_per_sec_crop_mode": round(imgs_per_sec_crop, 4),
+                    "hoi_2d_images_per_sec_crop_mode": _round(imgs_per_sec_crop, 4),
                     "crop_mode_latent_bucket": crop_bucket,
                     # reference-faithful in-loop segmenter (PointRend R50-FPN
                     # at scale-native 512; the reference's default backend)
-                    "hoi_2d_images_per_sec_pointrend_loop": round(imgs_per_sec_pr, 4),
-                    "hoi_2d_images_per_sec_pointrend_loop_fast": round(
-                        imgs_per_sec_pr_fast, 4
-                    ),
-                    "unet_cfg_step_ms": round(unet_step_s * 1e3, 2),
-                    "unet_step_mfu": round(mfu, 4),
+                    "hoi_2d_images_per_sec_pointrend_loop": _round(imgs_per_sec_pr, 4),
+                    "hoi_2d_images_per_sec_pointrend_loop_fast": _round(imgs_per_sec_pr_fast, 4),
+                    "unet_cfg_step_ms": _round(unet_step_s * 1e3, 2) if unet_step_s else None,
+                    "unet_step_mfu": _round(mfu, 4),
                     # BASELINE.md north-star #3: BEHAVE-backpack 2D-stage
                     # category wall-clock. Workload shape from the reference
                     # configs (constants/generation/{assets,prompts}.py):
@@ -441,16 +454,14 @@ def main():
                     # from the measured rate; the measured per-stage
                     # wall-clocks of a real 1-view slice (host overheads
                     # included) are in mini_category_stage_seconds.
-                    "behave_backpack_2d_category_wallclock_min_per_chip": round(
-                        2400 / imgs_per_sec / 60.0, 1
-                    ),
+                    "behave_backpack_2d_category_wallclock_min_per_chip": (round(2400 / imgs_per_sec / 60.0, 1) if imgs_per_sec else None),
                     "mini_category_stage_seconds": mini,
-                    "coma_contact_aggregation_samples_per_sec": round(coma_tpu_sps, 3),
-                    "coma_object_contact_samples_per_sec": round(coma_objcontact_sps, 3),
-                    "coma_quant_full_samples_per_sec": round(coma_quantfull_sps, 3),
-                    "coma_occupancy_aggregation_samples_per_sec": round(occupancy_sps, 3),
+                    "coma_contact_aggregation_samples_per_sec": _round(coma_tpu_sps, 3),
+                    "coma_object_contact_samples_per_sec": _round(coma_objcontact_sps, 3),
+                    "coma_quant_full_samples_per_sec": _round(coma_quantfull_sps, 3),
+                    "coma_occupancy_aggregation_samples_per_sec": _round(occupancy_sps, 3),
                     "coma_vs_torch_cpu": (
-                        round(coma_tpu_sps / coma_base, 2) if coma_base else None
+                        round(coma_tpu_sps / coma_base, 2) if (coma_base and coma_tpu_sps) else None
                     ),
                     "baseline_def": "torch-CPU mirrors on this host (reference publishes none)",
                 },
