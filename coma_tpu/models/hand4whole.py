@@ -64,9 +64,14 @@ def soft_argmax_3d(hm: jax.Array) -> jax.Array:
     """
     B, J, D, H, W = hm.shape
     p = jax.nn.softmax(hm.reshape(B, J, -1), axis=2).reshape(B, J, D, H, W)
-    x = jnp.sum(p.sum(axis=(2, 3)) * jnp.arange(W, dtype=hm.dtype), axis=2)
-    y = jnp.sum(p.sum(axis=(2, 4)) * jnp.arange(H, dtype=hm.dtype), axis=2)
-    z = jnp.sum(p.sum(axis=(3, 4)) * jnp.arange(D, dtype=hm.dtype), axis=2)
+    # expectation as an einsum contraction, NOT a broadcast-multiply-reduce:
+    # the axon AOT pass miscompiles the fused reduce's output layout
+    # ("expected f32[64,3], actual f32[3,64]{1,0:T(4,128)}" post-optimization
+    # error on the real chip), and a dot maps onto the MXU anyway
+    idx = lambda n: jnp.arange(n, dtype=hm.dtype)
+    x = jnp.einsum("bjdhw,w->bj", p, idx(W))
+    y = jnp.einsum("bjdhw,h->bj", p, idx(H))
+    z = jnp.einsum("bjdhw,d->bj", p, idx(D))
     return jnp.stack([x, y, z], axis=2), p
 
 
@@ -74,8 +79,10 @@ def soft_argmax_2d(hm: jax.Array) -> jax.Array:
     """(B, J, H, W) -> (B, J, 2) expected (x, y)."""
     B, J, H, W = hm.shape
     p = jax.nn.softmax(hm.reshape(B, J, -1), axis=2).reshape(B, J, H, W)
-    x = jnp.sum(p.sum(axis=2) * jnp.arange(W, dtype=hm.dtype), axis=2)
-    y = jnp.sum(p.sum(axis=3) * jnp.arange(H, dtype=hm.dtype), axis=2)
+    # einsum instead of multiply-reduce: see soft_argmax_3d (axon AOT
+    # layout bug workaround; the (b j) output stays contraction-shaped)
+    x = jnp.einsum("bjhw,w->bj", p, jnp.arange(W, dtype=hm.dtype))
+    y = jnp.einsum("bjhw,h->bj", p, jnp.arange(H, dtype=hm.dtype))
     return jnp.stack([x, y], axis=2)
 
 
