@@ -90,10 +90,17 @@ def run_mini_category(workdir: str = None, seeds: int = 16,
 
     def run(label, module, args):
         t0 = time.perf_counter()
-        r = subprocess.run(
-            [sys.executable, "-m", f"coma_tpu.cli.{module}", *args],
-            cwd=d, env=env, capture_output=True, text=True,
-        )
+        try:
+            # bounded: a wedged TPU tunnel must fail the stage, not hang
+            # the whole bench (compiles are cache-warm well under this)
+            r = subprocess.run(
+                [sys.executable, "-m", f"coma_tpu.cli.{module}", *args],
+                cwd=d, env=env, capture_output=True, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired as exc:
+            raise RuntimeError(
+                f"mini-category stage {label} timed out after {exc.timeout}s"
+            ) from None
         dt = time.perf_counter() - t0
         if r.returncode != 0:
             raise RuntimeError(
