@@ -69,21 +69,27 @@ def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS) -> float:
     del state
     float(out.used_count)  # force completion
 
-    # The axon tunnel charges a measured ~30-55 ms fixed tax on every
-    # host value fetch. Production (extract_coma) runs many batch steps
-    # back-to-back with ONE final fetch, so the honest rate is the
-    # sustained per-step time: time a 1-chain and a 2-chain region (each
-    # ending in a single fetch) and difference out the fixed tax. Chains
-    # stay at depth 2 because un-donatable multi-GB accumulator pairs
-    # (see docs/KERNELS.md "Donation of aliased pallas buffers") pile up
-    # in HBM while dispatches are in flight.
+    return _sustained_rate(step, out, (hv, hn, ov, on), iters)
+
+
+def _sustained_rate(step, out, step_args, iters) -> float:
+    """Per-step rate with the axon fetch tax differenced out.
+
+    The tunnel charges a measured ~30-55 ms fixed tax on every host value
+    fetch. Production (extract_coma) runs many batch steps back-to-back with
+    ONE final fetch, so the honest rate is the sustained per-step time: time
+    a 1-chain and a 2-chain region (each ending in a single fetch) and
+    difference them. Chains stay at depth 2 because un-donatable multi-GB
+    accumulator pairs (see docs/KERNELS.md "Donation of aliased pallas
+    buffers") pile up in HBM while dispatches are in flight."""
+
     def timed(chain):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             cur = out
             for _ in range(chain):
-                cur = step(cur, hv, hn, ov, on)
+                cur = step(cur, *step_args)
             float(cur.used_count)
             best = min(best, time.perf_counter() - t0)
             del cur
@@ -111,24 +117,7 @@ def bench_occupancy_tpu() -> float:
     out = step(state, hv, ov)
     del state
     float(out.used_count)
-
-    # sustained rate with the axon fetch tax differenced out (see
-    # bench_coma_tpu for the rationale)
-    def timed(chain):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            cur = out
-            for _ in range(chain):
-                cur = step(cur, hv, ov)
-            float(cur.used_count)
-            best = min(best, time.perf_counter() - t0)
-            del cur
-        return best
-
-    w1 = timed(1)
-    w2 = timed(2)
-    return TPU_ITERS / max(w2 - w1, 1e-9)
+    return _sustained_rate(step, out, (hv, ov), TPU_ITERS)
 
 
 def bench_coma_torch_cpu() -> float:
@@ -400,13 +389,11 @@ def main():
 
     enable_compilation_cache()
 
-    (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
-     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = _try(
-        "inpaint", bench_inpaint, default=(None,) * 8)
-    inpaint_base = _try("inpaint torch baseline", bench_inpaint_torch_cpu)
-
     # measured mini-category end-to-end (VERDICT r2 item 7): real stage CLIs
-    # as subprocesses, host overheads included; see bench_e2e.py
+    # as subprocesses, host overheads included; see bench_e2e.py. Runs FIRST,
+    # before anything in THIS process touches the TPU backend — the tunneled
+    # chip serves one client at a time, and the stage subprocesses must not
+    # contend with a parent that is merely idling on an open backend.
     mini = None
     if not os.environ.get("COMA_BENCH_SKIP_E2E"):
         try:
@@ -415,6 +402,11 @@ def main():
             mini = run_mini_category(log=lambda *a: None)
         except Exception as e:  # never sink the whole bench on the e2e drive
             mini = {"error": str(e)[:300]}
+
+    (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
+     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = _try(
+        "inpaint", bench_inpaint, default=(None,) * 8)
+    inpaint_base = _try("inpaint torch baseline", bench_inpaint_torch_cpu)
 
     coma_tpu_sps = _try("coma qual", bench_coma_tpu)
     # the other two production grid shapes (constants/coma/{qual,quant}.py)

@@ -115,7 +115,6 @@ def run_all(args) -> int:
     from coma_tpu.models.weights_readiness import (
         MANIFEST,
         file_digests,
-        find_checkpoint,
         readiness_report,
         verify_tree,
     )

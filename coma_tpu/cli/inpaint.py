@@ -182,8 +182,21 @@ def build_pipeline(args):
     seg = PersonSegmenter()
 
     if args.weights_dir and os.path.exists(args.weights_dir):
-        from coma_tpu.models.diffusion.weights import load_sd_params
+        import dataclasses
 
+        from coma_tpu.models.diffusion.weights import (
+            infer_sd_configs,
+            load_sd_params,
+        )
+
+        # rebuild the modules around the CHECKPOINT's configs (SD-2-inpaint
+        # — the reference default — uses 1024-dim cross-attention and a
+        # 23-layer/1024-wide gelu CLIP; the SD-1.x modules above would fail
+        # apply() with shape errors against converted SD-2 params)
+        ucfg, ccfg = infer_sd_configs(args.weights_dir)
+        ucfg = dataclasses.replace(ucfg, dtype=jnp.bfloat16)
+        unet = UNet2DCondition(ucfg)
+        clip = CLIPTextEncoder(ccfg)
         params = load_sd_params(args.weights_dir)
     elif args.random_weights:
         k = jax.random.PRNGKey(0)
@@ -405,6 +418,17 @@ def main(argv=None) -> None:
             crop = choose_crop_latent(masks, vae_scale=pipe.config.vae_scale)
         else:
             crop = int(args.provoke_crop)
+            if crop:
+                need = choose_crop_latent(masks, vae_scale=pipe.config.vae_scale)
+                if need == 0 or need > crop:
+                    # a window smaller than bbox+halo silently zeroes the
+                    # adapted mask outside it — refuse instead
+                    raise SystemExit(
+                        f"--provoke_crop {crop} is smaller than this batch's "
+                        f"default-mask bbox + decoder halo (needs "
+                        f"{'full-frame' if need == 0 else f'>= {need}'}); "
+                        "use --provoke_crop auto"
+                    )
         generate = generate_for(crop)
         B_real = len(chunk)
         imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
@@ -413,9 +437,7 @@ def main(argv=None) -> None:
                 [imgs, masks, ctx, neg], n_dev
             )
         if args.save_step_video:
-            out, inter = generate(
-                run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg,
-            )
+            out, inter = generate(run_params, key, imgs, masks, ctx, neg)
             from coma_tpu.visualization.video import write_adaptive_mask_video
 
             gif = chunk[0]["out"].rsplit(".", 1)[0] + ".steps.gif"
@@ -425,7 +447,7 @@ def main(argv=None) -> None:
                 sample=0, every=max(1, args.default_ddim_steps // 16),
             )
         else:
-            out = generate(run_params, key, jnp.asarray(imgs), jnp.asarray(masks), ctx, neg)
+            out = generate(run_params, key, imgs, masks, ctx, neg)
         out_np = (np.asarray(out)[:B_real] * 255).astype(np.uint8)
         for w, img in zip(chunk, out_np):
             os.makedirs(os.path.dirname(w["out"]), exist_ok=True)

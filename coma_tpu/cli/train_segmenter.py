@@ -62,6 +62,17 @@ def main(argv=None) -> None:
 
     args = build_parser().parse_args(argv)
 
+    domains = [d.strip() for d in args.domains.split(",") if d.strip()]
+    known = {"procedural", "rendered"}
+    if not domains or not set(domains) <= known:
+        # a typo here would otherwise re-render a background pool every
+        # batch (any unknown string falls through to 'rendered' handling
+        # without the prebuilt pool) or hang the producer on an empty list
+        raise SystemExit(
+            f"--domains must be a non-empty comma list from {sorted(known)}; "
+            f"got {args.domains!r}"
+        )
+
     model = PersonSegmenter()
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(200, args.steps // 10),
@@ -71,7 +82,6 @@ def main(argv=None) -> None:
     state = trainer.init(jax.random.PRNGKey(args.seed), (args.size, args.size))
     step_fn = trainer.make_step()
 
-    domains = [d.strip() for d in args.domains.split(",") if d.strip()]
     bg_pool = None
     if "rendered" in domains:
         print("[train_segmenter] pre-rendering background pool "

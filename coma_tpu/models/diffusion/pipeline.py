@@ -78,10 +78,18 @@ class AdaptiveMaskConfig:
     # so the crop sees everything the mask math can use; the caller must
     # pick c ≥ latent bbox + halo (see :func:`choose_crop_latent`). The re-
     # encoded masked latents are pasted into the step-0 (default-mask)
-    # encode outside the window. Approximation boundary: the VAE mid-block
-    # attention couples the frame globally, so cropped decode/encode values
-    # are not bit-identical to the full-frame path — the *thresholded
-    # adapted masks* are compared bit-wise in tests instead.
+    # encode outside the window. Approximation boundaries: (1) the VAE
+    # mid-block attention couples the frame globally, so cropped
+    # decode/encode values are not bit-identical to the full-frame path —
+    # the *thresholded adapted masks* are compared bit-wise in tests
+    # instead; (2) the too-small-human fallback test counts segmenter
+    # pixels only inside the window against the reference's absolute
+    # full-frame threshold (H·W·thres) — faithful while the detected
+    # person lies inside the window (the expected case: the window covers
+    # the default-mask bbox + halo), but person pixels elsewhere in the
+    # frame (e.g. a second hallucinated person) are invisible to it and
+    # can tip a borderline frame into the default-mask fallback where the
+    # full-frame path would keep the adapted mask.
     provoke_crop_latent: int = 0
 
     def dilate_schedule(self) -> List[int]:

@@ -170,7 +170,13 @@ class KinectCalib:
 
     def pc2dmap(self, points: np.ndarray) -> np.ndarray:
         """Reproject a point cloud to a color-frame depth map via
-        nearest-grid interpolation (``behave.py:pc2dmap:176-186``)."""
+        nearest-grid interpolation (``behave.py:pc2dmap:176-186``).
+
+        Quirks kept reference-exact on purpose: the zeros-init + full-grid
+        assignment is equivalent to ``dmap = depth``, and nearest-neighbor
+        griddata EXTRAPOLATES — pixels outside the cloud's footprint carry
+        the nearest point's depth rather than 0, so ``dmap == 0`` is NOT a
+        validity mask here (unlike the kinect depth readers above)."""
         from scipy.interpolate import griddata
 
         p2d = self.project_points(points)

@@ -272,3 +272,63 @@ def test_infer_sd_configs(tmp_path):
     ucfg0, ccfg0 = infer_sd_configs(str(tmp_path / "nonexistent"))
     assert ucfg0.heads_per_block is None and ucfg0.attention_head_dim == 8
     assert ccfg0.hidden_act == "quick_gelu"
+
+
+def test_cli_build_pipeline_uses_checkpoint_configs(tmp_path, monkeypatch):
+    """Regression: ``inpaint.build_pipeline`` must rebuild the UNet/CLIP
+    modules around the CHECKPOINT's inferred configs, not the hardcoded
+    SD-1.x defaults — otherwise SD-2-inpaint params (cross-attention 1024,
+    23-layer gelu CLIP) fail apply() with shape errors in the CLI, the only
+    production consumer (reference default: ``inpaint_ldm.py:4-15``)."""
+    import dataclasses
+    import json
+
+    from coma_tpu.cli import inpaint as cli
+    from coma_tpu.models.diffusion import weights as W
+
+    # an SD-2-shaped (but tiny) diffusers dir: only the config.jsons matter
+    (tmp_path / "unet").mkdir()
+    (tmp_path / "text_encoder").mkdir()
+    with open(tmp_path / "unet" / "config.json", "w") as f:
+        json.dump({
+            "in_channels": 9, "out_channels": 4,
+            "block_out_channels": [8, 16], "layers_per_block": 1,
+            "cross_attention_dim": 48, "attention_head_dim": [1, 2],
+            "norm_num_groups": 4,
+            "down_block_types": ["CrossAttnDownBlock2D", "DownBlock2D"],
+        }, f)
+    with open(tmp_path / "text_encoder" / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": 512, "hidden_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "max_position_embeddings": 77,
+            "hidden_act": "gelu",
+        }, f)
+
+    def fake_load(weights_dir, dtype=jnp.bfloat16):
+        # simulate a converted checkpoint with exactly the declared geometry
+        ucfg, ccfg = W.infer_sd_configs(weights_dir)
+        ucfg = dataclasses.replace(ucfg, dtype=jnp.bfloat16)
+        unet = UNet2DCondition(ucfg)
+        clip = CLIPTextEncoder(ccfg)
+        k = jax.random.PRNGKey(0)
+        return dict(
+            unet=unet.init(k, jnp.zeros((1, 8, 8, 9), ucfg.dtype),
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 77, ucfg.cross_attention_dim),
+                                     ucfg.dtype)),
+            vae_encoder=None, vae_decoder=None,
+            clip=clip.init(k, jnp.zeros((1, 77), jnp.int32)),
+            tokenizer=None, segmenter=None,
+        )
+
+    monkeypatch.setattr(W, "load_sd_params", fake_load)
+    args = cli.build_parser().parse_args(
+        ["--weights_dir", str(tmp_path), "--batch_size", "1"])
+    pipe, run_params, encode_prompts, res = cli.build_pipeline(args)
+    assert res == 512
+    # both applies would raise ScopeParamShapeError with the SD-1.x modules
+    emb = encode_prompts(["a person"])
+    assert emb.shape == (1, 77, 32)
+    out = pipe.unet_fn(run_params, jnp.zeros((1, 8, 8, 9)),
+                       jnp.zeros((1,)), jnp.zeros((1, 77, 48)))
+    assert out.shape == (1, 8, 8, 4)
