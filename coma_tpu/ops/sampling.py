@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_sample_bilinear(feat: jax.Array, coords: jax.Array) -> jax.Array:
@@ -101,6 +102,21 @@ def roi_align(
     return jax.vmap(sample_box)(xs, ys)
 
 
+def _fpn_level_assignment(
+    boxes: jax.Array, num_levels: int, canonical_level: int, canonical_size: float
+) -> jax.Array:
+    """detectron2 ``ROIPooler`` level rule: ``floor(canonical +
+    log2(sqrt(area)/canonical_size))`` clamped to the available levels.
+    Returns 0-based level indices (R,) int32."""
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8)
+    )
+    return (jnp.clip(lvl, 2, 2 + num_levels - 1) - 2).astype(jnp.int32)
+
+
 def multilevel_roi_align(
     feats: list,
     boxes: jax.Array,
@@ -109,47 +125,100 @@ def multilevel_roi_align(
     canonical_level: int = 4,
     canonical_size: float = 224.0,
     sampling_ratio: int = 2,
-    chunk: int = 100,
+    chunk: int = 256,
 ) -> jax.Array:
     """FPN level-aware ROIAlign (detectron2 ``ROIPooler``): assign each box to
-    level ``floor(canonical + log2(sqrt(area)/canonical_size))`` clamped to the
-    available levels, pool there. ``feats`` are (H_l, W_l, C) for p2..p5,
+    its pyramid level, pool there. ``feats`` are (H_l, W_l, C) for p2..p5,
     ``strides`` their image strides (4, 8, 16, 32).
 
-    Every box is pooled at every level and the one-hot level assignment
-    contracts the stack — branch-free, MXU-friendly — but chunked with
-    ``lax.map`` so the (L, R, S, S, C) transient never materializes for the
-    full proposal set (1000 proposals would be ~800 MB)."""
-    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
-        boxes[:, 3] - boxes[:, 1], 0.0
-    )
-    lvl = jnp.floor(
-        canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8)
-    )
-    lvl = jnp.clip(lvl, 2, 2 + len(strides) - 1).astype(jnp.int32)
-    onehot = jax.nn.one_hot(lvl - 2, len(strides), axis=0)  # (L, R)
+    The pyramid is flattened into one (ΣH_l·W_l, C) buffer and each box
+    gathers its bilinear samples only from its assigned level — gather
+    indices are offset by the level's base, so the level choice is pure
+    index arithmetic with static shapes (1× the minimum gather work; the
+    earlier pool-at-every-level one-hot contraction did L×). Chunked with
+    ``lax.map`` so the (R, Sq, Sq, C) corner transients stay bounded for
+    1000-proposal calls."""
+    S, q = output_size, sampling_ratio
+    L = len(strides)
+    C = feats[0].shape[-1]
+    dims = np.array([f.shape[:2] for f in feats], np.int32)  # (L, 2) = (H, W)
+    offsets = np.concatenate([[0], np.cumsum(dims[:, 0] * dims[:, 1])[:-1]])
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    lvl = _fpn_level_assignment(boxes, L, canonical_level, canonical_size)
+
+    Hs = jnp.asarray(dims[:, 0])
+    Ws = jnp.asarray(dims[:, 1])
+    offs = jnp.asarray(offsets, jnp.int32)
+    inv_stride = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    # sub-sample centers: bin i, sub j at (i + (j + 0.5)/q) / S along the box
+    u = (jnp.arange(S)[:, None] + (jnp.arange(q)[None, :] + 0.5) / q).reshape(-1) / S
 
     def pool_chunk(args):
-        b, oh = args  # (chunk, 4), (L, chunk)
-        pooled = jnp.stack(
-            [
-                roi_align(f, b, output_size, 1.0 / s, sampling_ratio)
-                for f, s in zip(feats, strides)
-            ],
-            axis=0,
-        )  # (L, chunk, S, S, C)
-        return jnp.einsum("lrijc,lr->rijc", pooled, oh)
+        bx, lv = args  # (chunk, 4), (chunk,)
+        Hb, Wb, ob = Hs[lv], Ws[lv], offs[lv]  # (chunk,)
+        b = bx * inv_stride[lv][:, None] - 0.5  # aligned=True continuous coords
+        x0b, y0b = b[:, 0], b[:, 1]
+        bw = jnp.maximum(b[:, 2] - x0b, 1e-6)
+        bh = jnp.maximum(b[:, 3] - y0b, 1e-6)
+        gx = (x0b[:, None] + u[None, :] * bw[:, None])[:, None, :]  # (R, 1, Sq)
+        gy = (y0b[:, None] + u[None, :] * bh[:, None])[:, :, None]  # (R, Sq, 1)
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        wx = (gx - x0)[..., None]
+        wy = (gy - y0)[..., None]
+        Hc = Hb[:, None, None]
+        Wc = Wb[:, None, None]
+        oc = ob[:, None, None]
+
+        def gather(yi, xi):
+            yi = jnp.broadcast_to(yi, (bx.shape[0], S * q, S * q))
+            xi = jnp.broadcast_to(xi, (bx.shape[0], S * q, S * q))
+            valid = (yi >= 0) & (yi < Hc) & (xi >= 0) & (xi < Wc)
+            yc = jnp.clip(yi, 0, Hc - 1).astype(jnp.int32)
+            xc = jnp.clip(xi, 0, Wc - 1).astype(jnp.int32)
+            v = flat[oc + yc * Wc.astype(jnp.int32) + xc]  # (R, Sq, Sq, C)
+            return jnp.where(valid[..., None], v, 0.0)
+
+        vals = (
+            gather(y0, x0) * (1 - wy) * (1 - wx)
+            + gather(y0, x0 + 1) * (1 - wy) * wx
+            + gather(y0 + 1, x0) * wy * (1 - wx)
+            + gather(y0 + 1, x0 + 1) * wy * wx
+        )
+        return vals.reshape(-1, S, q, S, q, C).mean(axis=(2, 4))
 
     R = boxes.shape[0]
+    if R <= chunk:
+        return pool_chunk((boxes, lvl))
     pad = (-R) % chunk
     boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
-    onehot_p = jnp.pad(onehot, ((0, 0), (0, pad)))
+    lvl_p = jnp.pad(lvl, (0, pad))
     n = (R + pad) // chunk
     out = jax.lax.map(
-        pool_chunk,
-        (
-            boxes_p.reshape(n, chunk, 4),
-            onehot_p.reshape(len(strides), n, chunk).transpose(1, 0, 2),
-        ),
+        pool_chunk, (boxes_p.reshape(n, chunk, 4), lvl_p.reshape(n, chunk))
     )
-    return out.reshape(n * chunk, output_size, output_size, -1)[:R]
+    return out.reshape(n * chunk, S, S, C)[:R]
+
+
+def _multilevel_roi_align_dense(
+    feats: list,
+    boxes: jax.Array,
+    output_size: int,
+    strides: tuple,
+    canonical_level: int = 4,
+    canonical_size: float = 224.0,
+    sampling_ratio: int = 2,
+) -> jax.Array:
+    """Reference implementation: pool every box at every level and contract
+    with the one-hot level assignment. L× the gather work of
+    ``multilevel_roi_align`` — kept as its parity oracle."""
+    lvl = _fpn_level_assignment(boxes, len(strides), canonical_level, canonical_size)
+    onehot = jax.nn.one_hot(lvl, len(strides), axis=0)  # (L, R)
+    pooled = jnp.stack(
+        [
+            roi_align(f, boxes, output_size, 1.0 / s, sampling_ratio)
+            for f, s in zip(feats, strides)
+        ],
+        axis=0,
+    )  # (L, R, S, S, C)
+    return jnp.einsum("lrijc,lr->rijc", pooled, onehot)
