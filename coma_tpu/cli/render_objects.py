@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--default_view_num", type=int, default=8)
     parser.add_argument("--default_bbox_size", type=float, nargs=3, default=[0.45, 0.45, 0.95])
     parser.add_argument("--default_perturb_sample_num", type=int, default=1)
+    parser.add_argument(
+        "--ao_samples", type=int, default=8,
+        help="hemisphere ambient-occlusion directions for the RGB render "
+             "(GI-style contact darkening; 0 disables)")
     return parser
 
 
@@ -114,7 +118,8 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
             seg_pth = f"{dirs['seg']}/{view_id}.png"
             if args.skip_done and os.path.exists(seg_pth):
                 continue
-            seg, rgb = render_object_views_textured(camera, pv, mesh)
+            seg, rgb = render_object_views_textured(
+                camera, pv, mesh, ao_samples=args.ao_samples)
             Image.fromarray(seg).save(seg_pth)
             Image.fromarray(rgb).save(f"{dirs['render']}/{view_id}.png")
 

@@ -243,8 +243,75 @@ def rasterize_attributes(
     return zbuf, uv_img, mat_img, n_img, aux_img
 
 
+def _directional_visibility(
+    casters: jax.Array,   # (C, 3, 3) world-space occluder triangles
+    pos_img: jax.Array,   # (H, W, 3) world position per pixel
+    d: jax.Array,         # (3,) unit direction from surface toward the light
+    res: int,
+    bias_px: float,
+    pcf: int,
+    chunk: int,
+) -> jax.Array:
+    """Fraction of ``pcf``² shadow-map taps along ``d`` that are unoccluded,
+    per pixel. One depth-only raster pass in an orthographic light frame;
+    shared by the directional-light shadow and the ambient-occlusion
+    hemisphere samples."""
+    up = jnp.where(jnp.abs(d[2]) < 0.9,
+                   jnp.asarray([0.0, 0.0, 1.0], d.dtype),
+                   jnp.asarray([0.0, 1.0, 0.0], d.dtype))
+    lx = jnp.cross(up, d)
+    lx = lx / jnp.linalg.norm(lx)
+    ly = jnp.cross(d, lx)
+    basis = jnp.stack([lx, ly, -d], axis=-1)  # world -> light coords
+    lverts = casters.reshape(-1, 3) @ basis
+    lo = jnp.min(lverts[:, :2], axis=0)
+    hi = jnp.max(lverts[:, :2], axis=0)
+    span = jnp.maximum(jnp.max(hi - lo), 1e-6)
+    px_per_world = (res - 2.0) / span
+
+    def to_shadow_px(p):  # light coords -> shadow-map pixel coords
+        xy = (p[..., :2] - lo) * px_per_world + 1.0
+        z = p[..., 2] * px_per_world  # depth in the same pixel scale
+        return jnp.concatenate([xy, z[..., None]], axis=-1)
+
+    shadow_z = rasterize_depth(
+        to_shadow_px(lverts).reshape(-1, 3, 3), res, res,
+        chunk=chunk, flip_y=False,
+    )
+    sp = to_shadow_px(pos_img @ basis)  # (H, W, 3)
+    # pixels outside the caster footprint cannot be shadowed
+    inb = (
+        (sp[..., 0] >= 0) & (sp[..., 0] <= res - 1)
+        & (sp[..., 1] >= 0) & (sp[..., 1] <= res - 1)
+    )
+    r = pcf // 2
+    taps = []
+    for dy in range(-r, pcf - r):
+        for dx in range(-r, pcf - r):
+            iy = jnp.clip(jnp.round(sp[..., 1]).astype(jnp.int32) + dy, 0, res - 1)
+            ix = jnp.clip(jnp.round(sp[..., 0]).astype(jnp.int32) + dx, 0, res - 1)
+            taps.append(sp[..., 2] <= shadow_z[iy, ix] + bias_px)
+    lit = jnp.mean(jnp.stack(taps).astype(pos_img.dtype), axis=0)
+    return jnp.where(inb, lit, 1.0)
+
+
+def cosine_hemisphere_dirs(n: int, dtype=jnp.float32) -> jax.Array:
+    """``n`` deterministic cosine-weighted directions on the +z hemisphere
+    (Fibonacci spiral on the unit disk, projected up — Malley's method), so
+    a plain mean of per-direction visibilities estimates the cosine-weighted
+    sky integral."""
+    i = jnp.arange(n, dtype=dtype) + 0.5
+    r = jnp.sqrt(i / n)
+    theta = jnp.pi * (1.0 + jnp.sqrt(5.0)) * i
+    x = r * jnp.cos(theta)
+    y = r * jnp.sin(theta)
+    z = jnp.sqrt(jnp.maximum(1.0 - r * r, 1e-12))
+    return jnp.stack([x, y, z], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y",
-                                   "shadow_res", "pcf"))
+                                   "shadow_res", "pcf", "ao_samples",
+                                   "ao_res"))
 def render_textured(
     tri_px: jax.Array,    # (T, 3, 3)
     tri_uv: jax.Array,    # (T, 3, 2)
@@ -266,6 +333,8 @@ def render_textured(
     shadow_res: int = 512,
     shadow_bias_px: float = 2.0,
     pcf: int = 3,             # PCF kernel width (odd), softens the penumbra
+    ao_samples: int = 0,      # hemisphere sky-visibility directions (0 = off)
+    ao_res: int = 256,
 ):
     """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
 
@@ -275,7 +344,11 @@ def render_textured(
     the light direction produces a shadow map and the direct term is gated
     by a ``pcf``² percentage-closer filter — the contact shadows the
     reference gets from Cycles (area light + GI, ``blenderproc.py:100-113``,
-    ``:161-180``)."""
+    ``:161-180``). ``ao_samples > 0`` additionally estimates cosine-weighted
+    sky visibility (ambient occlusion) from that many deterministic
+    hemisphere directions and gates the ambient term with it — the
+    one-bounce-GI contact darkening Cycles produces around grounded
+    objects, at ``ao_samples`` extra depth-only passes."""
     if tri_w is None:
         zbuf, uv_img, mat_img, n_img = rasterize_attributes(
             tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y
@@ -309,51 +382,24 @@ def render_textured(
 
     if tri_w is None:
         lit = 1.0
+        ao = 1.0
     else:
-        # light-space orthographic basis (z along -light: depth grows away
-        # from the light)
-        up = jnp.where(jnp.abs(light[2]) < 0.9,
-                       jnp.asarray([0.0, 0.0, 1.0], light.dtype),
-                       jnp.asarray([0.0, 1.0, 0.0], light.dtype))
-        lx = jnp.cross(up, light)
-        lx = lx / jnp.linalg.norm(lx)
-        ly = jnp.cross(light, lx)
-        basis = jnp.stack([lx, ly, -light], axis=-1)  # world -> light coords
         casters = tri_w if shadow_casters is None else shadow_casters
-        lverts = casters.reshape(-1, 3) @ basis  # (3C, 3)
-        lo = jnp.min(lverts[:, :2], axis=0)
-        hi = jnp.max(lverts[:, :2], axis=0)
-        span = jnp.maximum(jnp.max(hi - lo), 1e-6)
-        px_per_world = (shadow_res - 2.0) / span
-
-        def to_shadow_px(p):  # light coords -> shadow-map pixel coords
-            xy = (p[..., :2] - lo) * px_per_world + 1.0
-            z = p[..., 2] * px_per_world  # depth in the same pixel scale
-            return jnp.concatenate([xy, z[..., None]], axis=-1)
-
-        shadow_z = rasterize_depth(
-            to_shadow_px(lverts).reshape(-1, 3, 3), shadow_res, shadow_res,
-            chunk=chunk, flip_y=False,
+        lit = _directional_visibility(
+            casters, pos_img, light, shadow_res, shadow_bias_px, pcf, chunk
         )
-        sp = to_shadow_px(pos_img @ basis)  # (H, W, 3)
-        # pixels outside the caster footprint cannot be shadowed
-        inb = (
-            (sp[..., 0] >= 0) & (sp[..., 0] <= shadow_res - 1)
-            & (sp[..., 1] >= 0) & (sp[..., 1] <= shadow_res - 1)
-        )
-        r = pcf // 2
-        taps = []
-        for dy in range(-r, pcf - r):
-            for dx in range(-r, pcf - r):
-                iy = jnp.clip(jnp.round(sp[..., 1]).astype(jnp.int32) + dy,
-                              0, shadow_res - 1)
-                ix = jnp.clip(jnp.round(sp[..., 0]).astype(jnp.int32) + dx,
-                              0, shadow_res - 1)
-                taps.append(sp[..., 2] <= shadow_z[iy, ix] + shadow_bias_px)
-        lit = jnp.mean(jnp.stack(taps).astype(tri_px.dtype), axis=0)
-        lit = jnp.where(inb, lit, 1.0)
+        if ao_samples > 0:
+            dirs = cosine_hemisphere_dirs(ao_samples, tri_px.dtype)
+            ao = jax.lax.map(
+                lambda d: _directional_visibility(
+                    casters, pos_img, d, ao_res, shadow_bias_px, 1, chunk
+                ),
+                dirs,
+            ).mean(axis=0)
+        else:
+            ao = 1.0
 
-    shade = ambient + (1.0 - ambient) * lambert * lit
+    shade = ambient * ao + (1.0 - ambient) * lambert * lit
     rgb = tex * shade[..., None]
     rgb = jnp.where(covered[..., None], rgb, background)
     return jnp.clip(rgb, 0.0, 1.0), covered

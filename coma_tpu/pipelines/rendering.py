@@ -253,6 +253,7 @@ def render_object_views_textured(
     ground_z: float = 0.0,
     ground_color: float = 0.78,
     shadows: bool = True,
+    ao_samples: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Object segmap + textured Lambertian RGB over a ground plane.
 
@@ -260,8 +261,9 @@ def render_object_views_textured(
     (``render_objects.py:90,309``; scene = asset + plane + area light,
     ``utils/blenderproc.py:100-113``). ``shadows`` adds the shadow-mapped
     directional light (contact shadow under grounded objects — what the
-    reference's Cycles area light produces). Returns (seg uint8, rgb
-    uint8)."""
+    reference's Cycles area light produces); ``ao_samples > 0`` adds
+    hemispheric ambient occlusion (the GI contact darkening, that many
+    extra depth passes). Returns (seg uint8, rgb uint8)."""
     from coma_tpu.lifting.rasterizer import render_textured
 
     verts_j = jnp.asarray(verts, jnp.float32)
@@ -318,7 +320,8 @@ def render_object_views_textured(
         )
     rgb, _ = render_textured(
         jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
-        jnp.asarray(tri_n), jnp.asarray(textures), H, W, **shadow_kw,
+        jnp.asarray(tri_n), jnp.asarray(textures), H, W,
+        ao_samples=ao_samples if shadows else 0, **shadow_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)
 

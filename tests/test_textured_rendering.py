@@ -252,6 +252,55 @@ def test_shadow_pass_directional():
     assert shad[32, 32].mean() > shad[32, 16].mean() + 0.2
 
 
+def test_ambient_occlusion_contact_darkening():
+    """AO darkens ground pixels near an occluder and leaves open ground
+    untouched (the one-bounce-GI contact darkening of Cycles)."""
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import (
+        cosine_hemisphere_dirs,
+        render_textured,
+    )
+
+    # cosine sampling invariants: unit +z hemisphere, E[z] = 2/3
+    d = np.asarray(cosine_hemisphere_dirs(64))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    assert (d[:, 2] > 0).all()
+    np.testing.assert_allclose(d[:, 2].mean(), 2.0 / 3.0, atol=0.05)
+
+    # ground quad z=0 over [-2,2]², occluder quad hovering at z=0.15
+    g = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32)
+    o = g * 0.25 + [0, 0, 0.15]
+    quads = np.array([[0, 1, 2], [0, 2, 3]])
+    tri_w = np.concatenate([g[quads], o[quads]])
+    px = (tri_w[..., :2] + 2.0) / 4.0 * 64.0
+    tri_px = np.concatenate([px, -tri_w[..., 2:]], axis=-1)
+    tri_uv = np.zeros((4, 3, 2), np.float32)
+    tri_mat = np.zeros(4, np.int32)
+    tri_n = np.tile([[0.0, 0.0, 1.0]], (4, 1)).astype(np.float32)
+    tex = np.full((1, 4, 4, 3), 1.0, np.float32)
+
+    def render(**kw):
+        rgb, _ = render_textured(
+            jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
+            jnp.asarray(tri_n), jnp.asarray(tex), 64, 64, flip_y=False,
+            light_dir=(0.0, 0.0, 1.0), ambient=0.5,
+            tri_w=jnp.asarray(tri_w), shadow_casters=jnp.asarray(o[quads]),
+            **kw,
+        )
+        return np.asarray(rgb)
+
+    base = render()
+    ao = render(ao_samples=16)
+    # ground just outside the occluder edge (x≈+0.6 -> px≈41): the hovering
+    # quad blocks much of its sky -> darker with AO
+    assert ao[32, 41].mean() < base[32, 41].mean() - 0.05
+    # open ground far away (x≈+1.8 -> px≈60) keeps nearly full ambient
+    assert abs(ao[32, 60].mean() - base[32, 60].mean()) < 0.02
+    # AO only darkens
+    assert (base - ao).min() >= -1e-5
+
+
 def test_render_object_views_textured_contact_shadow(textured_quad):
     """Pipeline-level: a grounded object produces a contact shadow in the
     default (shadows=True) render and none with shadows=False."""
