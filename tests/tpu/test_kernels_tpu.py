@@ -74,3 +74,29 @@ def test_unet_cfg_step_compiles_bf16():
     out = jax.jit(model.apply)(params, lat, t, ctx)
     assert out.shape == (2, 16, 16, 4)
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_multilevel_roi_align_on_chip(rng):
+    """The flat single-level-gather FPN pooler (the PointRend detect hot op)
+    vs its dense pool-at-every-level oracle, compiled on the real chip."""
+    from coma_tpu.ops.sampling import (
+        _multilevel_roi_align_dense,
+        multilevel_roi_align,
+    )
+
+    feats = [
+        jnp.asarray(rng.normal(size=(128 // s, 128 // s, 16)), jnp.float32)
+        for s in (4, 8, 16, 32)
+    ]
+    sides = np.tile(np.array([20.0, 60.0, 150.0, 300.0, 500.0], np.float32), 5)
+    xy = rng.uniform(-20, 100, size=(len(sides), 2)).astype(np.float32)
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + sides[:, None] * [1.0, 0.8]], axis=-1)
+    )
+    ours = jax.jit(
+        lambda f, b: multilevel_roi_align(f, b, 7, (4, 8, 16, 32))
+    )(feats, boxes)
+    oracle = jax.jit(
+        lambda f, b: _multilevel_roi_align_dense(f, b, 7, (4, 8, 16, 32))
+    )(feats, boxes)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(oracle), atol=1e-4)
