@@ -610,8 +610,15 @@ def merged_person_mask(
         vals = grid_sample_bilinear(l[..., None].astype(jnp.float32), coords)[..., 0]
         return (vals > 0) & inside & k
 
-    masks = jax.vmap(paste_one)(logits, boxes, keep)
-    merged = jnp.any(masks, axis=0)
+    # scan-accumulate rather than vmap+any: only one (ph, pw) paste is live
+    # at a time, so the fused provoke-step graph never materializes the
+    # (R, ph, pw) stack through the merge reduction (the f32 stride-1 paste
+    # blowup measured in docs/KERNELS.md)
+    merged, _ = jax.lax.scan(
+        lambda acc, xs: (acc | paste_one(*xs), None),
+        jnp.zeros((ph, pw), bool),
+        (logits, boxes, keep),
+    )
     if s > 1:
         merged = jax.image.resize(
             merged.astype(jnp.float32), (H, W), "nearest"
