@@ -615,7 +615,7 @@ def merged_person_mask(
     # (R, ph, pw) stack through the merge reduction (the f32 stride-1 paste
     # blowup measured in docs/KERNELS.md)
     merged, _ = jax.lax.scan(
-        lambda acc, xs: (acc | paste_one(*xs), None),
+        lambda acc, xs_: (acc | paste_one(*xs_), None),
         jnp.zeros((ph, pw), bool),
         (logits, boxes, keep),
     )

@@ -321,7 +321,7 @@ def render_object_views_textured(
     rgb, _ = render_textured(
         jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
         jnp.asarray(tri_n), jnp.asarray(textures), H, W,
-        ao_samples=ao_samples if shadows else 0, **shadow_kw,
+        ao_samples=ao_samples, **shadow_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)
 
