@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--ao_samples", type=int, default=8,
         help="hemisphere ambient-occlusion directions for the RGB render "
              "(GI-style contact darkening; 0 disables)")
+    parser.add_argument(
+        "--soft_shadow_samples", type=int, default=1,
+        help="area-light directions for soft shadows (1 = hard shadow)")
+    parser.add_argument(
+        "--light_cone_deg", type=float, default=5.0,
+        help="area-light cone half-angle used when --soft_shadow_samples > 1")
     return parser
 
 
@@ -119,7 +125,9 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
             if args.skip_done and os.path.exists(seg_pth):
                 continue
             seg, rgb = render_object_views_textured(
-                camera, pv, mesh, ao_samples=args.ao_samples)
+                camera, pv, mesh, ao_samples=args.ao_samples,
+                light_samples=args.soft_shadow_samples,
+                light_cone_deg=args.light_cone_deg)
             Image.fromarray(seg).save(seg_pth)
             Image.fromarray(rgb).save(f"{dirs['render']}/{view_id}.png")
 

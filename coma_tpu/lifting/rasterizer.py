@@ -311,7 +311,8 @@ def cosine_hemisphere_dirs(n: int, dtype=jnp.float32) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y",
                                    "shadow_res", "pcf", "ao_samples",
-                                   "ao_res"))
+                                   "ao_res", "light_samples",
+                                   "light_cone_deg"))
 def render_textured(
     tri_px: jax.Array,    # (T, 3, 3)
     tri_uv: jax.Array,    # (T, 3, 2)
@@ -335,6 +336,8 @@ def render_textured(
     pcf: int = 3,             # PCF kernel width (odd), softens the penumbra
     ao_samples: int = 0,      # hemisphere sky-visibility directions (0 = off)
     ao_res: int = 256,
+    light_samples: int = 1,   # area-light directions (1 = hard directional)
+    light_cone_deg: float = 0.0,  # half-angle of the area light's cone
 ):
     """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
 
@@ -348,7 +351,12 @@ def render_textured(
     sky visibility (ambient occlusion) from that many deterministic
     hemisphere directions and gates the ambient term with it — the
     one-bounce-GI contact darkening Cycles produces around grounded
-    objects, at ``ao_samples`` extra depth-only passes."""
+    objects, at ``ao_samples`` extra depth-only passes.
+    ``light_samples > 1`` with ``light_cone_deg > 0`` averages the direct
+    term over that many directions inside the light's cone — an area
+    light's distance-dependent penumbra (the reference's light is an area
+    light, ``blenderproc.py:104-108``), which fixed-width PCF cannot
+    reproduce."""
     if tri_w is None:
         zbuf, uv_img, mat_img, n_img = rasterize_attributes(
             tri_px, tri_uv, tri_mat, tri_n, height, width, chunk, flip_y
@@ -385,9 +393,35 @@ def render_textured(
         ao = 1.0
     else:
         casters = tri_w if shadow_casters is None else shadow_casters
-        lit = _directional_visibility(
-            casters, pos_img, light, shadow_res, shadow_bias_px, pcf, chunk
-        )
+        if light_samples > 1 and light_cone_deg > 0.0:
+            # deterministic directions on the light's disk (Fibonacci):
+            # perturb the light direction within the cone and average —
+            # points far below an occluder see the whole disk (umbra),
+            # edge points see part of it (penumbra)
+            up = jnp.where(jnp.abs(light[2]) < 0.9,
+                           jnp.asarray([0.0, 0.0, 1.0], light.dtype),
+                           jnp.asarray([0.0, 1.0, 0.0], light.dtype))
+            t1 = jnp.cross(up, light)
+            t1 = t1 / jnp.linalg.norm(t1)
+            t2 = jnp.cross(light, t1)
+            i = jnp.arange(light_samples, dtype=light.dtype) + 0.5
+            rr = jnp.sqrt(i / light_samples) * jnp.tan(
+                jnp.deg2rad(jnp.asarray(light_cone_deg, light.dtype)))
+            th = jnp.pi * (1.0 + jnp.sqrt(5.0)) * i
+            dirs = (light[None]
+                    + (rr * jnp.cos(th))[:, None] * t1[None]
+                    + (rr * jnp.sin(th))[:, None] * t2[None])
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            lit = jax.lax.map(
+                lambda d: _directional_visibility(
+                    casters, pos_img, d, shadow_res, shadow_bias_px, pcf, chunk
+                ),
+                dirs,
+            ).mean(axis=0)
+        else:
+            lit = _directional_visibility(
+                casters, pos_img, light, shadow_res, shadow_bias_px, pcf, chunk
+            )
         if ao_samples > 0:
             dirs = cosine_hemisphere_dirs(ao_samples, tri_px.dtype)
             ao = jax.lax.map(

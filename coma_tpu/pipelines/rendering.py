@@ -254,6 +254,8 @@ def render_object_views_textured(
     ground_color: float = 0.78,
     shadows: bool = True,
     ao_samples: int = 0,
+    light_samples: int = 1,
+    light_cone_deg: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Object segmap + textured Lambertian RGB over a ground plane.
 
@@ -321,7 +323,8 @@ def render_object_views_textured(
     rgb, _ = render_textured(
         jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
         jnp.asarray(tri_n), jnp.asarray(textures), H, W,
-        ao_samples=ao_samples, **shadow_kw,
+        ao_samples=ao_samples, light_samples=light_samples,
+        light_cone_deg=light_cone_deg, **shadow_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)
 

@@ -301,6 +301,46 @@ def test_ambient_occlusion_contact_darkening():
     assert (base - ao).min() >= -1e-5
 
 
+def test_area_light_soft_shadow_penumbra():
+    """Cone-sampled light directions produce an area-light penumbra: more
+    intermediate-intensity ground pixels than the hard directional light,
+    while fully-lit and deep-umbra regions keep their values."""
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    g = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32)
+    o = g * 0.25 + [0, 0, 1.0]  # occluder hovering high -> wide penumbra
+    quads = np.array([[0, 1, 2], [0, 2, 3]])
+    tri_w = np.concatenate([g[quads], o[quads]])
+    px = (tri_w[..., :2] + 2.0) / 4.0 * 128.0
+    tri_px = np.concatenate([px, -tri_w[..., 2:]], axis=-1)
+    tri_uv = np.zeros((4, 3, 2), np.float32)
+    tri_mat = np.zeros(4, np.int32)
+    tri_n = np.tile([[0.0, 0.0, 1.0]], (4, 1)).astype(np.float32)
+    tex = np.full((1, 4, 4, 3), 1.0, np.float32)
+
+    def render(**kw):
+        rgb, _ = render_textured(
+            jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
+            jnp.asarray(tri_n), jnp.asarray(tex), 128, 128, flip_y=False,
+            light_dir=(0.0, 0.0, 1.0), ambient=0.2, pcf=1,
+            tri_w=jnp.asarray(tri_w), shadow_casters=jnp.asarray(o[quads]),
+            **kw,
+        )
+        return np.asarray(rgb)[..., 0]
+
+    hard = render()
+    soft = render(light_samples=16, light_cone_deg=15.0)
+    lo, hi = 0.2 + 1e-3, 1.0 - 1e-3
+    inter_hard = ((hard > lo) & (hard < hi)).sum()
+    inter_soft = ((soft > lo) & (soft < hi)).sum()
+    assert inter_soft > inter_hard + 100  # a real penumbra band appears
+    # umbra center stays dark, open ground stays lit
+    assert abs(soft[64, 64] - hard[64, 64]) < 0.05
+    np.testing.assert_allclose(soft[64, 5], hard[64, 5], atol=0.02)
+
+
 def test_render_object_views_textured_contact_shadow(textured_quad):
     """Pipeline-level: a grounded object produces a contact shadow in the
     default (shadows=True) render and none with shadows=False."""
