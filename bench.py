@@ -384,10 +384,44 @@ def _round(x, nd):
     return round(x, nd) if isinstance(x, (int, float)) else None
 
 
+def _device_reachable(timeout_s: int = 120) -> bool:
+    """Probe the accelerator in a BOUNDED subprocess before this process
+    touches the backend: a dead axon tunnel hangs backend init indefinitely
+    (no exception to degrade on), so the probe is the only way to emit the
+    JSON line instead of wedging the whole bench."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(float(jax.numpy.ones(()).sum()))"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from coma_tpu.cli._common import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if not _device_reachable():
+        import sys
+
+        print("bench: accelerator unreachable (probe timed out); emitting "
+              "nulls", file=sys.stderr)
+        print(json.dumps({
+            "metric": "hoi_2d_images_per_sec_per_chip",
+            "value": None,
+            "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
+            "vs_baseline": None,
+            "extra": {"error": "TPU device unreachable at bench time"},
+        }))
+        return
 
     # measured mini-category end-to-end (VERDICT r2 item 7): real stage CLIs
     # as subprocesses, host overheads included; see bench_e2e.py. Runs FIRST,
