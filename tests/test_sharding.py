@@ -153,6 +153,47 @@ def test_flagship_dp_sharded_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
+def test_flagship_dp_sharded_pointrend_loop(rng):
+    """The reference-faithful in-loop segmenter family (PointRend,
+    ``adaptive_mask_inpainting.py:1182-1243``) inside the full adaptive-mask
+    scan under the data mesh: sharded == single-device."""
+    from coma_tpu.models.pointrend import (
+        PointRendConfig,
+        PointRendModel,
+        make_pointrend_segment_fn,
+    )
+    from coma_tpu.parallel.flagship import data_parallel_generate, pad_ragged_batch
+
+    pipe, params, R = _tiny_flagship()
+    pr_cfg = PointRendConfig(test_size=R, pre_nms_topk=32, post_nms_topk=16,
+                             box_candidates=8, max_detections=2)
+    pr_model = PointRendModel(pr_cfg)
+    params = dict(params,
+                  pointrend=pr_model.init(jax.random.PRNGKey(5),
+                                          jnp.zeros((R, R, 3))))
+    pipe.segment_fn = make_pointrend_segment_fn(pr_model, score_thresh=0.0)
+
+    B = 3  # ragged: pads to 8 over the mesh
+    img = jnp.asarray(rng.uniform(-1, 1, size=(B, R, R, 3)), jnp.float32)
+    mask = jnp.zeros((B, R, R)).at[:, 8:40, 8:40].set(1.0)
+    ctx = jnp.asarray(rng.normal(size=(B, 7, 32)), jnp.float32)
+    neg = jnp.zeros_like(ctx)
+    key = jax.random.PRNGKey(3)
+
+    single = jax.jit(pipe.generate_p)(params, key, img, mask, ctx, neg)
+
+    mesh = default_mesh()
+    (pimg, pmask, pctx, pneg), B_real = pad_ragged_batch(
+        [img, mask, ctx, neg], mesh.shape["data"])
+    assert B_real == B
+    sharded = data_parallel_generate(pipe, mesh)(
+        params, key, pimg, pmask, pctx, pneg)
+    np.testing.assert_allclose(
+        np.asarray(sharded)[:B], np.asarray(single), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_resolve_mesh_specs():
     from coma_tpu.parallel.flagship import resolve_mesh
 
