@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from coma_tpu.cli._common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # the fused e2e graphs take minutes cold
+
 from coma_tpu.models.pointrend import (  # noqa: E402
     PointRendConfig,
     PointRendModel,
