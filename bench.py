@@ -5,27 +5,42 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}:
 - metric/value:   2D-HOI images/sec/chip — the flagship: the FULL adaptive-
   mask inpainting pipeline (512², 50 DDIM steps, CFG, bf16 UNet, 21 in-loop
   segment + VAE decode/encode rounds, one lax.scan) at the CLI's default
-  batch 16 (measured sweet spot: b8 0.70, b16 0.85, b32 0.84 img/s in fast
-  mode). Reference workload: ``src/generation/inpaint.py:367,120,127`` +
+  batch 16. Reference workload: ``src/generation/inpaint.py:367,120,127`` +
   ``utils/adaptive_mask_inpainting.py:732-1109``.
 - vs_baseline:    measured on this host — a torch-CPU mirror of the same
-  dominant work (50 CFG UNet steps + 21 x̂₀ VAE decodes per image; mirrors
-  from ``tests/torch_sd_mirror.py`` with the published SD-inpaint config).
-  The reference publishes no numbers (BASELINE.md), so the baseline is the
+  dominant work (50 CFG UNet steps + 21 x̂₀ VAE decodes per image). The
+  reference publishes no numbers (BASELINE.md), so the baseline is the
   reference-style torch stack on the only hardware it can run on here.
-- extra:          UNet CFG-step latency + measured MFU (XLA cost-analysis
-  FLOPs / step time / chip bf16 peak), and the ComA contact-aggregation
-  throughput at reference scale (H=10475, O=180, N=250) with its own
-  measured torch-CPU baseline ratio.
+- extra:          per-mode pipeline rates, UNet CFG-step latency + measured
+  MFU, the ComA aggregation rates at the reference grid shapes, the
+  dp-sharded flagship scaling curve on a virtual mesh, and the measured
+  mini-category end-to-end stage wall-clocks.
+
+Harness design (round 4): the driver runs ``python bench.py`` under an
+external timeout, and round 3 lost every number to it. So the harness is now
+an ORCHESTRATOR that never touches the TPU backend itself:
+
+- every section runs in its own BOUNDED subprocess (guards are time-shaped,
+  not exception-shaped — a section that merely runs long is killed, not
+  waited on), sharing the persistent XLA compile cache;
+- sections run cheapest/headline-first; the mini-category e2e runs LAST and
+  only if budget remains;
+- a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1380 s)
+  gates every section start: a section that cannot fit in the remaining
+  budget is skipped and recorded as ``skipped (budget)``;
+- the final JSON line is printed exactly once, also on SIGTERM/SIGINT/
+  normal-exit via atexit, with whatever has been measured by then.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
-
 
 # ---------------------------------------------------------------- ComA
 
@@ -36,6 +51,8 @@ BASELINE_ITERS = 2
 
 # TPU v5e (v5 lite) bf16 peak; used only for the MFU figure
 V5E_BF16_PEAK = 197e12
+
+DEFAULT_BUDGET_S = 1380.0
 
 
 def make_samples(b):
@@ -49,7 +66,7 @@ def make_samples(b):
     )
 
 
-def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS) -> float:
+def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS):
     import jax
     import jax.numpy as jnp
 
@@ -72,8 +89,8 @@ def bench_coma_tpu(h=H, o=O, iters=TPU_ITERS) -> float:
     return _sustained_rate(step, out, (hv, hn, ov, on), iters)
 
 
-def _sustained_rate(step, out, step_args, iters) -> float:
-    """Per-step rate with the axon fetch tax differenced out.
+def _sustained_rate(step, out, step_args, iters):
+    """(rate, raw-chain-times) with the axon fetch tax differenced out.
 
     The tunnel charges a measured ~30-55 ms fixed tax on every host value
     fetch. Production (extract_coma) runs many batch steps back-to-back with
@@ -81,7 +98,8 @@ def _sustained_rate(step, out, step_args, iters) -> float:
     a 1-chain and a 2-chain region (each ending in a single fetch) and
     difference them. Chains stay at depth 2 because un-donatable multi-GB
     accumulator pairs (see docs/KERNELS.md "Donation of aliased pallas
-    buffers") pile up in HBM while dispatches are in flight."""
+    buffers") pile up in HBM while dispatches are in flight. The raw chain
+    wall-clocks ride along so a reviewer can sanity-check the subtraction."""
 
     def timed(chain):
         best = float("inf")
@@ -97,10 +115,11 @@ def _sustained_rate(step, out, step_args, iters) -> float:
 
     w1 = timed(1)
     w2 = timed(2)
-    return iters / max(w2 - w1, 1e-9)
+    rate = iters / max(w2 - w1, 1e-9)
+    return rate, {"w1_s": round(w1, 4), "w2_s": round(w2, 4)}
 
 
-def bench_occupancy_tpu() -> float:
+def bench_occupancy_tpu():
     """Occupancy-voxel aggregation at reference scale (H=10475, 30³ grid,
     ``constants/coma/qual.py`` occupancy config)."""
     import jax
@@ -252,60 +271,44 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
     return pipe, params, unet_fn, ucfg
 
 
-def bench_inpaint():
-    """Returns (images/sec/chip, fast-mode images/sec, unet CFG-step
-    seconds, measured MFU). The primary figure is the reference-exact
-    pipeline (provoke_decode_factor=1); fast mode (f=2, half-res provoke
-    decodes, `--provoke_decode_factor 2`) is reported alongside."""
+def _pipeline_rate(mask_box: int = 0, **kw) -> float:
+    """images/sec of one full-size pipeline variant on the chip."""
     import jax
     import jax.numpy as jnp
 
     # NOTE: on the tunneled backend block_until_ready() can ack before the
     # device finishes; fetching a value is the only reliable completion
     # barrier, so every timed region ends with a scalar fetch.
-    fetch = lambda x: float(jnp.sum(x))
+    pipe, params, _, ucfg = _build_pipeline(**kw)
+    img = jnp.zeros((BATCH, RES, RES, 3))
+    if mask_box:
+        # a realistic person-extent default mask (crop mode anchors its
+        # decode window on the mask bbox; throughput of the OTHER modes
+        # is mask-content-independent, so rates stay comparable)
+        lo, hi = (RES - mask_box) // 2, (RES + mask_box) // 2
+        mask = jnp.zeros((BATCH, RES, RES)
+                         ).at[:, lo:hi, lo - 24:hi - 40].set(1.0)
+    else:
+        mask = jnp.ones((BATCH, RES, RES))
+    emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
+    neg = jnp.zeros_like(emb)
+    gen = jax.jit(pipe.generate_p)
+    float(jnp.sum(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg)))
+    t0 = time.perf_counter()
+    iters = 2
+    tot = jnp.zeros(())
+    for i in range(iters):
+        tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
+    float(tot)
+    return BATCH * iters / (time.perf_counter() - t0)
 
-    def run_one(mask_box: int = 0, **kw):
-        pipe, params, unet_fn, ucfg = _build_pipeline(**kw)
-        img = jnp.zeros((BATCH, RES, RES, 3))
-        if mask_box:
-            # a realistic person-extent default mask (crop mode anchors its
-            # decode window on the mask bbox; throughput of the OTHER modes
-            # is mask-content-independent, so rates stay comparable)
-            lo, hi = (RES - mask_box) // 2, (RES + mask_box) // 2
-            mask = jnp.zeros((BATCH, RES, RES)
-                             ).at[:, lo:hi, lo - 24:hi - 40].set(1.0)
-        else:
-            mask = jnp.ones((BATCH, RES, RES))
-        emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
-        neg = jnp.zeros_like(emb)
-        gen = jax.jit(pipe.generate_p)
-        fetch(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg))
-        t0 = time.perf_counter()
-        iters = 2
-        tot = jnp.zeros(())
-        for i in range(iters):
-            tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
-        float(tot)
-        return BATCH * iters / (time.perf_counter() - t0)
 
-    imgs_per_sec = run_one(provoke_decode_factor=1)
-    imgs_per_sec_fast = run_one(provoke_decode_factor=2)
-    # crop mode (`--provoke_crop`): decode/segment/re-encode only the
-    # default-mask bbox window. Bucket chosen exactly as the CLI does, from
-    # a typical person-extent mask (~200 px tall -> latent bucket 40).
-    from coma_tpu.models.diffusion.pipeline import choose_crop_latent
+def bench_unet_step():
+    """Isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU."""
+    import jax
+    import jax.numpy as jnp
 
-    _box = np.zeros((1, RES, RES), np.float32)
-    _box[:, 156:356, 132:316] = 1.0
-    crop_bucket = choose_crop_latent(_box)
-    imgs_per_sec_crop = run_one(mask_box=200, provoke_crop_latent=crop_bucket)
-    # the reference-faithful in-loop segmenter family (PointRend R50-FPN,
-    # scale-native 512) — exact masks, and the bf16+stride-4 fast paste
-    imgs_per_sec_pr = run_one(segmenter="pointrend")
-    imgs_per_sec_pr_fast = run_one(segmenter="pointrend", pointrend_fast=True)
-
-    # isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU
+    _, params, unet_fn, ucfg = _build_pipeline()
     lat_in = jnp.zeros((2 * BATCH, LAT, LAT, 9), jnp.float32)
     t_in = jnp.full((2 * BATCH,), 500.0)
     ctx = jnp.zeros((2 * BATCH, 77, ucfg.cross_attention_dim))
@@ -320,7 +323,7 @@ def bench_inpaint():
     if not flops or not np.isfinite(flops):
         # analytic fallback: SD-1.x UNet ≈ 677 GMACs per 512² image
         flops = 677e9 * 2 * 2 * BATCH
-    fetch(compiled(params, lat_in, t_in, ctx))
+    float(jnp.sum(compiled(params, lat_in, t_in, ctx)))
     t0 = time.perf_counter()
     n = 10
     tot = jnp.zeros(())
@@ -329,8 +332,7 @@ def bench_inpaint():
     float(tot)
     step_s = (time.perf_counter() - t0) / n
     mfu = flops / step_s / V5E_BF16_PEAK
-    return (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
-            imgs_per_sec_pr, imgs_per_sec_pr_fast, step_s, mfu)
+    return step_s, mfu
 
 
 def bench_inpaint_torch_cpu() -> float:
@@ -338,9 +340,6 @@ def bench_inpaint_torch_cpu() -> float:
     50 CFG UNet steps + 21 provoke-round VAE decodes (full SD-inpaint config
     mirrors from tests/). Segmentation/re-encode excluded — favors the
     baseline. Measured from one step of each (they are step-homogeneous)."""
-    import os
-    import sys
-
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     import torch
 
@@ -366,135 +365,361 @@ def bench_inpaint_torch_cpu() -> float:
     return 1.0 / per_image
 
 
-def _try(label, fn, default=None):
-    """Degrade gracefully: a TPU-worker fault in one section must not sink
-    the whole bench — emit the JSON line with whatever was measured."""
-    import sys
-    import traceback
+# ----------------------------------------------------------- sections
+#
+# Each section runs in its own subprocess (`python bench.py --section X`)
+# and prints its result dict as the final `@@BENCH@@ {...}` line.
 
-    try:
-        return fn()
-    except Exception:
-        print(f"bench section FAILED: {label}", file=sys.stderr)
-        traceback.print_exc(limit=3)
-        return default
+
+def section_coma() -> dict:
+    qual, qual_raw = bench_coma_tpu()
+    objc, _ = bench_coma_tpu(h=1000, o=1500, iters=16)
+    quant, _ = bench_coma_tpu(h=750, o=2048, iters=16)
+    occ, _ = bench_occupancy_tpu()
+    return {
+        "coma_contact_aggregation_samples_per_sec": _round(qual, 3),
+        "coma_object_contact_samples_per_sec": _round(objc, 3),
+        "coma_quant_full_samples_per_sec": _round(quant, 3),
+        "coma_occupancy_aggregation_samples_per_sec": _round(occ, 3),
+        "coma_contact_chain_times_s": qual_raw,
+    }
+
+
+def section_unet_step() -> dict:
+    step_s, mfu = bench_unet_step()
+    return {"unet_cfg_step_ms": _round(step_s * 1e3, 2),
+            "unet_step_mfu": _round(mfu, 4)}
+
+
+def section_pipe_exact() -> dict:
+    return {"hoi_2d_images_per_sec": _round(
+        _pipeline_rate(provoke_decode_factor=1), 4)}
+
+
+def section_pipe_fast() -> dict:
+    return {"hoi_2d_images_per_sec_fast_mode": _round(
+        _pipeline_rate(provoke_decode_factor=2), 4)}
+
+
+def section_pipe_crop() -> dict:
+    # crop mode (`--provoke_crop`): decode/segment/re-encode only the
+    # default-mask bbox window. Bucket chosen exactly as the CLI does, from
+    # a typical person-extent mask (~200 px tall -> latent bucket 40).
+    from coma_tpu.models.diffusion.pipeline import choose_crop_latent
+
+    _box = np.zeros((1, RES, RES), np.float32)
+    _box[:, 156:356, 132:316] = 1.0
+    crop_bucket = choose_crop_latent(_box)
+    rate = _pipeline_rate(mask_box=200, provoke_crop_latent=crop_bucket)
+    return {"hoi_2d_images_per_sec_crop_mode": _round(rate, 4),
+            "crop_mode_latent_bucket": int(crop_bucket)}
+
+
+def section_pipe_pointrend() -> dict:
+    return {"hoi_2d_images_per_sec_pointrend_loop": _round(
+        _pipeline_rate(segmenter="pointrend"), 4)}
+
+
+def section_pipe_pointrend_fast() -> dict:
+    return {"hoi_2d_images_per_sec_pointrend_loop_fast": _round(
+        _pipeline_rate(segmenter="pointrend", pointrend_fast=True), 4)}
+
+
+def section_torch_baselines() -> dict:
+    return {
+        "inpaint_torch_cpu_imgs_per_sec": bench_inpaint_torch_cpu(),
+        "coma_torch_cpu_samples_per_sec": bench_coma_torch_cpu(),
+    }
+
+
+def section_dp_scaling() -> dict:
+    """dp-sharded flagship scaling on a virtual 8-device CPU mesh (VERDICT r3
+    item 8): weak-scaling step times of the FULL adaptive-mask scan at tiny
+    shapes, 2 images per device. Correctness is covered by dryrun_multichip;
+    this records the SPMD partitioner's scaling shape."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from coma_tpu.models.diffusion.pipeline import (
+        AdaptiveMaskConfig, AdaptiveMaskInpaintPipeline)
+    from coma_tpu.models.diffusion.unet import UNet2DCondition, tiny_unet_config
+    from coma_tpu.models.diffusion.vae import Decoder, Encoder, tiny_vae_config
+    from coma_tpu.parallel.flagship import data_parallel_generate
+
+    cfg = tiny_unet_config()
+    model = UNet2DCondition(cfg)
+    vcfg = tiny_vae_config()
+    enc, dec = Encoder(vcfg), Decoder(vcfg)
+    R = 64
+    k = jax.random.PRNGKey(0)
+    params = dict(
+        unet=model.init(k, jnp.zeros((1, 8, 8, 9)), jnp.zeros((1,)),
+                        jnp.zeros((1, 7, cfg.cross_attention_dim))),
+        vae_encoder=enc.init(k, jnp.zeros((1, R, R, 3))),
+        vae_decoder=dec.init(k, jnp.zeros((1, 8, 8, 4))),
+    )
+    pipe = AdaptiveMaskInpaintPipeline(
+        unet_fn=lambda p, l, t, c: model.apply(p["unet"], l, t, c),
+        vae_encode_fn=lambda p, img: enc.apply(p["vae_encoder"], img),
+        vae_decode_fn=lambda p, l: dec.apply(p["vae_decoder"], l),
+        segment_fn=lambda p, images: (images.mean(-1) > 0.6).astype(jnp.float32),
+        config=AdaptiveMaskConfig(num_inference_steps=50),
+    )
+    devices = jax.devices()
+    curve = {}
+    for n in (1, 2, 4, 8):
+        if n > len(devices):
+            break
+        mesh = jax.sharding.Mesh(np.asarray(devices[:n]), ("data",))
+        B = 2 * n  # weak scaling: constant per-device batch
+        img = jnp.zeros((B, R, R, 3))
+        mask = jnp.zeros((B, R, R)).at[:, 8:40, 8:40].set(1.0)
+        ctx = jnp.zeros((B, 7, cfg.cross_attention_dim))
+        neg = jnp.zeros_like(ctx)
+        gen = data_parallel_generate(pipe, mesh)
+        out = gen(params, k, img, mask, ctx, neg)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        jax.block_until_ready(gen(params, k, img, mask, ctx, neg))
+        dt = time.perf_counter() - t0
+        curve[str(n)] = {"batch": B, "step_s": round(dt, 3),
+                         "imgs_per_sec": round(B / dt, 2)}
+    return {"flagship_dp_virtual_scaling": curve}
+
+
+def section_e2e() -> dict:
+    """Measured mini-category end-to-end (real stage CLIs as subprocesses,
+    host overheads included); time-boxed by the orchestrator."""
+    from bench_e2e import run_mini_category
+
+    return {"mini_category_stage_seconds": run_mini_category(
+        seeds=4, log=lambda *a: None)}
+
+
+SECTION_FNS = {
+    "coma": section_coma,
+    "unet_step": section_unet_step,
+    "pipe_exact": section_pipe_exact,
+    "torch_baselines": section_torch_baselines,
+    "pipe_pointrend_fast": section_pipe_pointrend_fast,
+    "pipe_pointrend": section_pipe_pointrend,
+    "pipe_fast": section_pipe_fast,
+    "pipe_crop": section_pipe_crop,
+    "dp_scaling": section_dp_scaling,
+    "e2e": section_e2e,
+}
+
+# (name, needs_tpu, min_needed_s) in priority order. min_needed gates the
+# section START against the remaining budget; once started, a section may
+# use the WHOLE remaining budget — a fixed small cap proved actively
+# harmful: killing a cold XLA compile mid-flight also forfeits the
+# persistent-cache write, so the next attempt is cold again. Cheap/headline
+# sections run first, so an expensive section can only eat the tail.
+SECTION_PLAN = [
+    ("coma",                True,  120),
+    ("unet_step",           True,  120),
+    ("pipe_exact",          True,  240),
+    ("torch_baselines",     False, 120),
+    ("pipe_pointrend_fast", True,  240),
+    ("pipe_pointrend",      True,  240),
+    ("pipe_fast",           True,  180),
+    ("pipe_crop",           True,  180),
+    ("dp_scaling",          False, 120),
+    ("e2e",                 True,  420),
+]
+
+# seconds to let the axon tunnel reclaim a just-killed client's HBM before
+# the next section attaches (observed: sections started immediately after a
+# kill hit RESOURCE_EXHAUSTED that a fresh chip doesn't produce)
+SETTLE_S = 10.0
+
+SECTION_MARK = "@@BENCH@@ "
 
 
 def _round(x, nd):
     return round(x, nd) if isinstance(x, (int, float)) else None
 
 
-def _device_reachable(timeout_s: int = 120) -> bool:
-    """Probe the accelerator in a BOUNDED subprocess before this process
+def _device_reachable(timeout_s: int = 120, attempts: int = 2) -> bool:
+    """Probe the accelerator in a BOUNDED subprocess before any section
     touches the backend: a dead axon tunnel hangs backend init indefinitely
-    (no exception to degrade on), so the probe is the only way to emit the
-    JSON line instead of wedging the whole bench."""
-    import subprocess
-    import sys
+    (no exception to degrade on). Sections are themselves time-bounded, so
+    the probe only avoids burning the whole budget on a dead tunnel; it
+    retries once because a single slow tunnel handshake (observed when a
+    previous client just released the chip) must not zero a whole round."""
+    for i in range(attempts):
+        if i:
+            time.sleep(15)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(float(jax.numpy.ones(()).sum()))"],
+                capture_output=True, timeout=timeout_s,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
+
+def _run_section(name: str, timeout_s: float):
+    """Run one section subprocess; returns (result_dict_or_None, status)."""
+    global _current_child
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", name]
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "print(float(jax.numpy.ones(()).sum()))"],
-            capture_output=True, timeout=timeout_s,
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        _current_child = proc
+        try:
+            out, err = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return None, "timeout"
+        finally:
+            _current_child = None
+    except Exception as exc:
+        return None, f"spawn failed: {type(exc).__name__}"
+    if proc.returncode != 0:
+        tail = (err or "").strip().splitlines()[-3:]
+        return None, "failed: " + " | ".join(tail)[:240]
+    for line in reversed((out or "").splitlines()):
+        if line.startswith(SECTION_MARK):
+            try:
+                return json.loads(line[len(SECTION_MARK):]), "ok"
+            except json.JSONDecodeError:
+                return None, "bad section output"
+    return None, "no section output"
+
+
+# --------------------------------------------------------- orchestrator
+
+_emitted = False
+_current_child = None
+
+
+def _emit(extras: dict, sections: dict):
+    """Print the one JSON line (idempotent — also runs from atexit)."""
+    global _emitted
+    if _emitted:
+        return
+    _emitted = True
+    imgs = extras.get("hoi_2d_images_per_sec")
+    base = extras.get("inpaint_torch_cpu_imgs_per_sec")
+    coma_base = extras.get("coma_torch_cpu_samples_per_sec")
+    coma_sps = extras.get("coma_contact_aggregation_samples_per_sec")
+    out = {
+        "metric": "hoi_2d_images_per_sec_per_chip",
+        "value": _round(imgs, 4),
+        "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
+        "vs_baseline": (round(imgs / base, 2) if (base and imgs) else None),
+        "extra": {
+            k: v for k, v in extras.items() if k != "hoi_2d_images_per_sec"
+        },
+    }
+    # BASELINE.md north-star #3: BEHAVE-backpack 2D-stage category
+    # wall-clock. Workload shape from the reference configs
+    # (constants/generation/{assets,prompts}.py): 4 views x 10 perturbs x
+    # 1 valid mask x (3 prompts x 2 viewpoint augs) x 10 seeds = 2400
+    # images, projected from the measured rate.
+    out["extra"]["behave_backpack_2d_category_wallclock_min_per_chip"] = (
+        round(2400 / imgs / 60.0, 1) if imgs else None)
+    out["extra"]["coma_vs_torch_cpu"] = (
+        round(coma_sps / coma_base, 2) if (coma_base and coma_sps) else None)
+    out["extra"]["baseline_def"] = (
+        "torch-CPU mirrors on this host (reference publishes none)")
+    out["extra"]["sections"] = sections
+    print(json.dumps(out), flush=True)
 
 
 def main():
-    from coma_tpu.cli._common import enable_compilation_cache
+    budget = float(os.environ.get("COMA_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    t_start = time.perf_counter()
+    deadline = t_start + budget
+    extras: dict = {}
+    sections: dict = {}
 
-    enable_compilation_cache()
+    import atexit
 
-    if not _device_reachable():
-        import sys
+    atexit.register(lambda: _emit(extras, sections))
 
-        print("bench: accelerator unreachable (probe timed out); emitting "
-              "nulls", file=sys.stderr)
-        print(json.dumps({
-            "metric": "hoi_2d_images_per_sec_per_chip",
-            "value": None,
-            "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
-            "vs_baseline": None,
-            "extra": {"error": "TPU device unreachable at bench time"},
-        }))
-        return
+    def on_signal(signum, frame):
+        if _current_child is not None:
+            try:
+                _current_child.kill()
+            except Exception:
+                pass
+        _emit(extras, sections)
+        os._exit(0)
 
-    # measured mini-category end-to-end (VERDICT r2 item 7): real stage CLIs
-    # as subprocesses, host overheads included; see bench_e2e.py. Runs FIRST,
-    # before anything in THIS process touches the TPU backend — the tunneled
-    # chip serves one client at a time, and the stage subprocesses must not
-    # contend with a parent that is merely idling on an open backend.
-    mini = None
-    if not os.environ.get("COMA_BENCH_SKIP_E2E"):
-        try:
-            from bench_e2e import run_mini_category
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
 
-            mini = run_mini_category(log=lambda *a: None)
-        except Exception as e:  # never sink the whole bench on the e2e drive
-            mini = {"error": str(e)[:300]}
+    probe_t0 = time.perf_counter()
+    tpu_ok = _device_reachable()
+    if not tpu_ok:
+        print("bench: accelerator unreachable (probe timed out); TPU "
+              "sections will be skipped", file=sys.stderr)
+    sections["device_probe"] = {
+        "status": "ok" if tpu_ok else "unreachable",
+        "seconds": round(time.perf_counter() - probe_t0, 1),
+    }
 
-    (imgs_per_sec, imgs_per_sec_fast, imgs_per_sec_crop, crop_bucket,
-     imgs_per_sec_pr, imgs_per_sec_pr_fast, unet_step_s, mfu) = _try(
-        "inpaint", bench_inpaint, default=(None,) * 8)
-    inpaint_base = _try("inpaint torch baseline", bench_inpaint_torch_cpu)
+    skip_e2e = bool(os.environ.get("COMA_BENCH_SKIP_E2E"))
+    prev_killed = False
+    for name, needs_tpu, min_needed in SECTION_PLAN:
+        if name == "e2e" and skip_e2e:
+            sections[name] = {"status": "skipped (COMA_BENCH_SKIP_E2E)"}
+            continue
+        if needs_tpu and not tpu_ok:
+            sections[name] = {"status": "skipped (device unreachable)"}
+            continue
+        if needs_tpu and prev_killed:
+            time.sleep(SETTLE_S)  # let the tunnel reclaim the killed client
+            prev_killed = False
+        remaining = deadline - time.perf_counter()
+        if remaining < min_needed:
+            sections[name] = {
+                "status": f"skipped (budget: {remaining:.0f}s left, "
+                          f"needs {min_needed}s)"}
+            continue
+        t0 = time.perf_counter()
+        result, status = _run_section(name, remaining)
+        if (result is None and needs_tpu and status.startswith("failed")
+                and deadline - time.perf_counter() > min_needed):
+            # transient tunnel faults (RESOURCE_EXHAUSTED right after a
+            # client kill) are common enough to warrant one retry
+            time.sleep(SETTLE_S)
+            result, status2 = _run_section(
+                name, deadline - time.perf_counter())
+            status = f"{status2} (retried: {status[:120]})"
+        sections[name] = {"status": status,
+                          "seconds": round(time.perf_counter() - t0, 1)}
+        prev_killed = status.startswith("timeout")
+        if result:
+            extras.update(result)
+        print(f"bench section {name}: {status} "
+              f"({sections[name].get('seconds', '?')}s)", file=sys.stderr)
 
-    coma_tpu_sps = _try("coma qual", bench_coma_tpu)
-    # the other two production grid shapes (constants/coma/{qual,quant}.py)
-    coma_objcontact_sps = _try(
-        "coma object-contact", lambda: bench_coma_tpu(h=1000, o=1500, iters=16))
-    coma_quantfull_sps = _try(
-        "coma quant-full", lambda: bench_coma_tpu(h=750, o=2048, iters=16))
-    occupancy_sps = _try("occupancy", bench_occupancy_tpu)
-    coma_base = _try("coma torch baseline", bench_coma_torch_cpu)
-
-    print(
-        json.dumps(
-            {
-                "metric": "hoi_2d_images_per_sec_per_chip",
-                "value": _round(imgs_per_sec, 4),
-                "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, reference-exact, batch 16)",
-                "vs_baseline": (
-                    round(imgs_per_sec / inpaint_base, 2) if (inpaint_base and imgs_per_sec) else None
-                ),
-                "extra": {
-                    "hoi_2d_images_per_sec_fast_mode": _round(imgs_per_sec_fast, 4),
-                    # bbox-window provoke rounds (`--provoke_crop auto`);
-                    # measured with a ~200 px person-extent default mask
-                    "hoi_2d_images_per_sec_crop_mode": _round(imgs_per_sec_crop, 4),
-                    "crop_mode_latent_bucket": crop_bucket,
-                    # reference-faithful in-loop segmenter (PointRend R50-FPN
-                    # at scale-native 512; the reference's default backend)
-                    "hoi_2d_images_per_sec_pointrend_loop": _round(imgs_per_sec_pr, 4),
-                    "hoi_2d_images_per_sec_pointrend_loop_fast": _round(imgs_per_sec_pr_fast, 4),
-                    "unet_cfg_step_ms": _round(unet_step_s * 1e3, 2) if unet_step_s else None,
-                    "unet_step_mfu": _round(mfu, 4),
-                    # BASELINE.md north-star #3: BEHAVE-backpack 2D-stage
-                    # category wall-clock. Workload shape from the reference
-                    # configs (constants/generation/{assets,prompts}.py):
-                    # 4 views x 10 perturbs x 1 valid mask x (3 prompts x 2
-                    # viewpoint augs) x 10 seeds = 2400 images. Projected
-                    # from the measured rate; the measured per-stage
-                    # wall-clocks of a real 1-view slice (host overheads
-                    # included) are in mini_category_stage_seconds.
-                    "behave_backpack_2d_category_wallclock_min_per_chip": (round(2400 / imgs_per_sec / 60.0, 1) if imgs_per_sec else None),
-                    "mini_category_stage_seconds": mini,
-                    "coma_contact_aggregation_samples_per_sec": _round(coma_tpu_sps, 3),
-                    "coma_object_contact_samples_per_sec": _round(coma_objcontact_sps, 3),
-                    "coma_quant_full_samples_per_sec": _round(coma_quantfull_sps, 3),
-                    "coma_occupancy_aggregation_samples_per_sec": _round(occupancy_sps, 3),
-                    "coma_vs_torch_cpu": (
-                        round(coma_tpu_sps / coma_base, 2) if (coma_base and coma_tpu_sps) else None
-                    ),
-                    "baseline_def": "torch-CPU mirrors on this host (reference publishes none)",
-                },
-            }
-        )
-    )
+    _emit(extras, sections)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        from coma_tpu.cli._common import enable_compilation_cache
+
+        enable_compilation_cache()
+        result = SECTION_FNS[sys.argv[2]]()
+        print(SECTION_MARK + json.dumps(result), flush=True)
+    else:
+        main()
