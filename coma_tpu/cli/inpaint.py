@@ -397,6 +397,7 @@ def main(argv=None) -> None:
                 ))
         return _gen_cache[crop]
 
+    _warned_crop_declined = False
     for i in range(0, len(work), args.batch_size):
         chunk = work[i : i + args.batch_size]
         imgs = np.stack([
@@ -415,11 +416,22 @@ def main(argv=None) -> None:
         # with the global seed
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), chunk[0]["inpaint_id"])
         if args.provoke_crop == "auto":
+            # auto declines (crop=0, full frame) when the smallest fitting
+            # window is near-full-frame: marginal savings aren't worth the
+            # crop approximation (see choose_crop_latent / AdaptiveMaskConfig)
             crop = choose_crop_latent(masks, vae_scale=pipe.config.vae_scale)
+            if crop == 0 and not _warned_crop_declined:
+                _warned_crop_declined = True
+                print("  provoke_crop auto: declined (bbox near-full-frame "
+                      "or no bucket fits); using the full-frame path")
         else:
             crop = int(args.provoke_crop)
             if crop:
-                need = choose_crop_latent(masks, vae_scale=pipe.config.vae_scale)
+                # explicit crop: only validate geometric fit (the user made
+                # the marginality call) — max_area_ratio=1.0
+                need = choose_crop_latent(
+                    masks, vae_scale=pipe.config.vae_scale, max_area_ratio=1.0
+                )
                 if need == 0 or need > crop:
                     # a window smaller than bbox+halo silently zeroes the
                     # adapted mask outside it — refuse instead

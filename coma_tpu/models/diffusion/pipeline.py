@@ -140,12 +140,21 @@ def choose_crop_latent(
     vae_scale: int = 8,
     halo: int = 6,
     buckets: Tuple[int, ...] = (24, 32, 40, 48, 56),
+    max_area_ratio: float = 0.75,
 ) -> int:
     """Host-side crop-size selection for a batch: the smallest bucket
     covering every image's default-mask bbox plus ``halo`` latent pixels on
     each side (halo absorbs the VAE's local receptive-field edge effects).
     Returns 0 (no crop) when no bucket fits. Buckets bound recompiles: the
-    jit specializes per crop size, and the persistent cache keeps each."""
+    jit specializes per crop size, and the persistent cache keeps each.
+
+    ``max_area_ratio`` declines the crop (returns 0) when the smallest
+    fitting window covers more than that fraction of the latent area: a
+    near-full-frame crop saves almost nothing while still exposing the
+    crop approximation (a person decoded OUTSIDE the window is invisible
+    to the too-small fallback test — see ``AdaptiveMaskConfig`` notes and
+    ``test_crop_divergence_second_person_outside_window``). Pass 1.0 to
+    disable the guard (e.g. when validating an explicit user-chosen crop)."""
     m = np.asarray(default_masks) > 0
     if m.ndim == 2:
         m = m[None]
@@ -161,6 +170,8 @@ def choose_crop_latent(
     lat_side = min(m.shape[1], m.shape[2]) // vae_scale
     for b in buckets:
         if b >= need and b < lat_side:
+            if (b / lat_side) ** 2 > max_area_ratio:
+                return 0  # marginal savings: not worth the approximation
             return b
     return 0
 

@@ -356,6 +356,14 @@ def test_choose_crop_latent_buckets():
     assert choose_crop_latent(big) == 0
     # empty masks -> smallest bucket (halo only)
     assert choose_crop_latent(np.zeros((1, 512, 512), np.float32)) == 24
+    # marginal-savings guard: a near-full-frame bbox would land in bucket 56
+    # ((56/64)^2 = 77% of the latent area) — auto declines the crop rather
+    # than pay the approximation for ~nothing...
+    near_full = np.zeros((1, 512, 512), np.float32)
+    near_full[0, 80:430, 70:420] = 1  # 350px -> 44 latent + 12 halo = 56
+    assert choose_crop_latent(near_full) == 0
+    # ...but explicit validation (max_area_ratio=1.0) still reports the fit
+    assert choose_crop_latent(near_full, max_area_ratio=1.0) == 56
 
 
 def test_crop_rejects_decode_factor_combo(tiny_pipeline, rng):
@@ -417,3 +425,62 @@ def test_provoke_crop_mask_fidelity(tiny_pipeline, rng):
     assert agree >= 0.95, f"mask-latent agreement {agree:.4f}"
     # outside every default-mask bbox both paths must be exactly zero
     assert (m_crop[:, 0, :1, :1] == 0).all()
+
+
+@pytest.mark.slow
+def test_crop_divergence_second_person_outside_window(tiny_pipeline, rng):
+    """The documented crop-mode approximation boundary, made executable
+    (AdaptiveMaskConfig notes; reference semantics:
+    ``adaptive_mask_inpainting.py:1130-1137``): the too-small-human fallback
+    compares detected-person pixels against an ABSOLUTE full-frame threshold
+    (H·W·thres). The cropped path can only count pixels inside its window, so
+    a second person decoded OUTSIDE the window can tip a borderline frame
+    into the default-mask fallback where the full-frame path keeps the
+    adapted mask. Constructed here with a geometry-driven segmenter: person A
+    (64 px) inside the window, person B (192 px) outside; threshold at 100 px
+    sits between A and A+B."""
+    build, _, H = tiny_pipeline
+
+    def two_person_segmenter(images):
+        B, S = images.shape[0], images.shape[1]
+        m = jnp.zeros((B, S, S))
+        m = m.at[:, 8:16, 8:16].set(1.0)  # person A: inside window & default bbox
+        if S == H:  # full frame also sees person B in the far corner
+            m = m.at[:, 48:60, 44:60].set(1.0)
+        return m
+
+    def run(crop):
+        pipe = build(two_person_segmenter)
+        pipe = AdaptiveMaskInpaintPipeline(
+            unet_fn=pipe.unet_fn,
+            vae_encode_fn=pipe.vae_encode_fn,
+            vae_decode_fn=pipe.vae_decode_fn,
+            segment_fn=pipe.segment_fn,
+            config=dataclasses.replace(
+                pipe.config,
+                provoke_crop_latent=crop,
+                human_detection_thres=100.0 / (H * H),  # between A and A+B
+            ),
+        )
+        img = jnp.asarray(rng.uniform(-1, 1, size=(1, H, H, 3)), jnp.float32)
+        mask = jnp.zeros((1, H, H)).at[0, 0:32, 0:32].set(1.0)  # window anchors here
+        _, inter = jax.jit(
+            lambda *a: pipe.generate_p(*a, return_intermediates=True)
+        )(None, jax.random.PRNGKey(7), img, mask,
+          jnp.asarray(rng.normal(size=(1, 7, 32)), jnp.float32),
+          jnp.zeros((1, 7, 32)))
+        return np.asarray(inter["mask_lat"]), np.asarray(mask)
+
+    m_crop, mask = run(4)
+    m_full, _ = run(0)
+    from coma_tpu.models.diffusion.pipeline import downsample_mask
+
+    default_lat = np.asarray(downsample_mask(jnp.asarray(mask), 8))
+    # last provoke step (1-indexed 45 -> index 44) has dilation 0: the
+    # adapted mask is person A ∧ default, strictly smaller than default
+    i = 44
+    # full-frame path: A+B = 256 px >= 100 -> adapted mask kept
+    assert (m_full[i] != default_lat).any(), "full-frame path fell back"
+    assert m_full[i].sum() < default_lat.sum()
+    # cropped path: only A's 64 px are visible in the window -> fallback
+    np.testing.assert_array_equal(m_crop[i], default_lat)
