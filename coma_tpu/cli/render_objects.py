@@ -68,6 +68,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--light_cone_deg", type=float, default=5.0,
         help="area-light cone half-angle used when --soft_shadow_samples > 1")
+    parser.add_argument(
+        "--specular", type=float, default=0.25,
+        help="GGX specular strength (0 = pure Lambertian); fidelity target "
+             "is the Cycles Principled BSDF default")
+    parser.add_argument(
+        "--roughness", type=float, default=0.35,
+        help="GGX roughness used when --specular > 0")
+    parser.add_argument(
+        "--flat_ambient", action="store_true",
+        help="disable the sky/ground environment ambient term")
+    parser.add_argument(
+        "--no_tonemap", action="store_true",
+        help="linear clip instead of the ACES filmic curve")
     return parser
 
 
@@ -127,7 +140,9 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
             seg, rgb = render_object_views_textured(
                 camera, pv, mesh, ao_samples=args.ao_samples,
                 light_samples=args.soft_shadow_samples,
-                light_cone_deg=args.light_cone_deg)
+                light_cone_deg=args.light_cone_deg,
+                specular=args.specular, roughness=args.roughness,
+                sky_env=not args.flat_ambient, tonemap=not args.no_tonemap)
             Image.fromarray(seg).save(seg_pth)
             Image.fromarray(rgb).save(f"{dirs['render']}/{view_id}.png")
 

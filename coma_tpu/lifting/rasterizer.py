@@ -309,10 +309,64 @@ def cosine_hemisphere_dirs(n: int, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def make_sky_env(
+    sky=(0.62, 0.72, 0.88),
+    horizon=(0.85, 0.83, 0.78),
+    ground=(0.35, 0.32, 0.28),
+    height: int = 16,
+    width: int = 4,
+) -> jnp.ndarray:
+    """A small lat-long environment map (height, width, 3): sky at the
+    zenith, warm horizon band, dark ground — the non-flat ambient term the
+    reference gets from Cycles' world shader (``blenderproc.py:100-113``,
+    Blender's default grey world + area light bounce). Pass the result as
+    ``render_textured(env_map=...)``; any other lat-long image works too."""
+    t = jnp.linspace(0.0, 1.0, height)[:, None]  # 0 = zenith, 1 = nadir
+    sky_c = jnp.asarray(sky)
+    hor_c = jnp.asarray(horizon)
+    gnd_c = jnp.asarray(ground)
+    upper = sky_c[None] * (1 - t * 2) + hor_c[None] * (t * 2)         # t<0.5
+    lower = hor_c[None] * (2 - t * 2) + gnd_c[None] * (t * 2 - 1)     # t>=0.5
+    col = jnp.where(t < 0.5, upper, lower)  # (height, 3)
+    return jnp.broadcast_to(col[:, None, :], (height, width, 3)).astype(jnp.float32)
+
+
+def sample_env(env_map: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Bilinear lat-long lookup: directions (..., 3) -> radiance (..., 3).
+    Row = polar angle from +z (zenith at row 0), column = atan2 azimuth with
+    wrap."""
+    He, We, _ = env_map.shape
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))          # [0, π]
+    phi = jnp.arctan2(d[..., 1], d[..., 0])                     # [-π, π]
+    r = theta / jnp.pi * (He - 1)
+    c = (phi + jnp.pi) / (2 * jnp.pi) * We
+    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, He - 1)
+    r1 = jnp.minimum(r0 + 1, He - 1)
+    c0 = jnp.floor(c).astype(jnp.int32) % We
+    c1 = (c0 + 1) % We
+    wr = (r - r0)[..., None]
+    wc = (c - jnp.floor(c))[..., None]
+    return (
+        env_map[r0, c0] * (1 - wr) * (1 - wc)
+        + env_map[r0, c1] * (1 - wr) * wc
+        + env_map[r1, c0] * wr * (1 - wc)
+        + env_map[r1, c1] * wr * wc
+    )
+
+
+def filmic_tonemap(rgb: jax.Array) -> jax.Array:
+    """ACES filmic approximation (Narkowicz 2015) — the soft-shoulder
+    highlight rolloff Cycles' "Filmic" view transform applies; linear clip
+    crushes speculars to flat white, this curve keeps their gradient."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((rgb * (a * rgb + b)) / (rgb * (c * rgb + d) + e), 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y",
                                    "shadow_res", "pcf", "ao_samples",
                                    "ao_res", "light_samples",
-                                   "light_cone_deg"))
+                                   "light_cone_deg", "specular", "tonemap"))
 def render_textured(
     tri_px: jax.Array,    # (T, 3, 3)
     tri_uv: jax.Array,    # (T, 3, 2)
@@ -338,6 +392,12 @@ def render_textured(
     ao_res: int = 256,
     light_samples: int = 1,   # area-light directions (1 = hard directional)
     light_cone_deg: float = 0.0,  # half-angle of the area light's cone
+    specular: float = 0.0,    # GGX specular strength (0 = pure Lambertian)
+    roughness: float = 0.35,  # GGX roughness (perceptual; squared to α)
+    view_dir=(0.0, 0.0, 1.0),  # world-space direction surface -> camera
+    env_map: jax.Array = None,  # lat-long (He, We, 3) ambient environment
+                                # (see make_sky_env); None = flat white
+    tonemap: bool = False,     # ACES filmic curve instead of linear clip
 ):
     """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
 
@@ -433,9 +493,37 @@ def render_textured(
         else:
             ao = 1.0
 
-    shade = ambient * ao + (1.0 - ambient) * lambert * lit
-    rgb = tex * shade[..., None]
+    # ambient term: flat white or the environment sampled at the surface
+    # normal (irradiance-style — low-frequency maps from make_sky_env), AO-
+    # gated either way
+    if env_map is None:
+        env = 1.0
+    else:
+        env = sample_env(env_map, n_img)  # (H, W, 3)
+    amb = ambient * env * (ao if isinstance(ao, float) else ao[..., None])
+    diffuse = tex * (amb + ((1.0 - ambient) * lambert * lit)[..., None])
+
+    if specular > 0.0:
+        # Cook-Torrance-lite: GGX NDF x Schlick Fresnel against the primary
+        # light, shadow-gated; two-sided like the diffuse term. The
+        # reference's Cycles Principled BSDF default (specular 0.5,
+        # roughness 0.5, ``blenderproc.py:100-113``) is the fidelity target.
+        view = jnp.asarray(view_dir, tri_px.dtype)
+        view = view / jnp.linalg.norm(view)
+        half = light + view
+        half = half / jnp.maximum(jnp.linalg.norm(half), 1e-12)
+        ndh = jnp.abs(n_img @ half)
+        alpha2 = (roughness * roughness) ** 2
+        denom = ndh * ndh * (alpha2 - 1.0) + 1.0
+        ndf = alpha2 / jnp.maximum(jnp.pi * denom * denom, 1e-6)
+        fresnel = 0.04 + 0.96 * (1.0 - jnp.abs(jnp.dot(half, view))) ** 5
+        spec = specular * ndf * fresnel * lambert * lit
+        rgb = diffuse + spec[..., None]  # white highlight (dielectric)
+    else:
+        rgb = diffuse
     rgb = jnp.where(covered[..., None], rgb, background)
+    if tonemap:
+        return filmic_tonemap(rgb), covered
     return jnp.clip(rgb, 0.0, 1.0), covered
 
 

@@ -256,6 +256,10 @@ def render_object_views_textured(
     ao_samples: int = 0,
     light_samples: int = 1,
     light_cone_deg: float = 0.0,
+    specular: float = 0.0,
+    roughness: float = 0.35,
+    sky_env: bool = False,
+    tonemap: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Object segmap + textured Lambertian RGB over a ground plane.
 
@@ -265,7 +269,11 @@ def render_object_views_textured(
     directional light (contact shadow under grounded objects — what the
     reference's Cycles area light produces); ``ao_samples > 0`` adds
     hemispheric ambient occlusion (the GI contact darkening, that many
-    extra depth passes). Returns (seg uint8, rgb uint8)."""
+    extra depth passes); ``specular > 0`` adds a GGX lobe against the view
+    direction (Cycles Principled BSDF default specular); ``sky_env`` swaps
+    the flat ambient for a sky/ground environment term; ``tonemap`` applies
+    the ACES filmic curve (Cycles' Filmic view transform). Returns
+    (seg uint8, rgb uint8)."""
     from coma_tpu.lifting.rasterizer import render_textured
 
     verts_j = jnp.asarray(verts, jnp.float32)
@@ -320,11 +328,23 @@ def render_object_views_textured(
             tri_w=jnp.asarray(tri_w),
             shadow_casters=jnp.asarray(v.astype(np.float32)[faces]),
         )
+    photoreal_kw = {}
+    if specular > 0.0:
+        # surface -> camera in world space: the ortho camera's -front
+        photoreal_kw.update(
+            specular=specular, roughness=roughness,
+            view_dir=tuple(np.asarray(-camera.front, np.float32)),
+        )
+    if sky_env:
+        from coma_tpu.lifting.rasterizer import make_sky_env
+
+        photoreal_kw["env_map"] = make_sky_env()
     rgb, _ = render_textured(
         jnp.asarray(tri_px), jnp.asarray(tri_uv), jnp.asarray(tri_mat),
         jnp.asarray(tri_n), jnp.asarray(textures), H, W,
         ao_samples=ao_samples, light_samples=light_samples,
-        light_cone_deg=light_cone_deg, **shadow_kw,
+        light_cone_deg=light_cone_deg, tonemap=tonemap,
+        **shadow_kw, **photoreal_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)
 

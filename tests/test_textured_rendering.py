@@ -341,6 +341,147 @@ def test_area_light_soft_shadow_penumbra():
     np.testing.assert_allclose(soft[64, 5], hard[64, 5], atol=0.02)
 
 
+# ------------------------------------------ specular / env / tonemap ----
+
+
+def _sphere_scene(res=64, n_lat=24, n_lon=24):
+    """A unit sphere over a ground plane, overhead ortho camera — curved
+    normals make specular highlights and the sky term visible."""
+    import math
+
+    verts = []
+    for i in range(n_lat):
+        th = math.pi * (i + 0.5) / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append([math.sin(th) * math.cos(ph),
+                          math.sin(th) * math.sin(ph),
+                          math.cos(th) + 1.0])  # resting on z=0
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            faces += [[a, b, b + n_lon], [a, b + n_lon, a + n_lon]]
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int32)
+    g = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]], np.float32)
+    quads = np.array([[0, 1, 2], [0, 2, 3]])
+    tri_w = np.concatenate([v[f], g[quads]])
+    e1 = tri_w[:, 1] - tri_w[:, 0]
+    e2 = tri_w[:, 2] - tri_w[:, 0]
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    px = (tri_w[..., :2] + 2.0) / 4.0 * res
+    tri_px = np.concatenate([px, -tri_w[..., 2:]], axis=-1).astype(np.float32)
+    T = len(tri_w)
+    return dict(
+        tri_px=tri_px, tri_w=tri_w.astype(np.float32),
+        tri_uv=np.zeros((T, 3, 2), np.float32),
+        tri_mat=np.zeros(T, np.int32), tri_n=n.astype(np.float32),
+        casters=tri_w[: len(f)].astype(np.float32),
+        tex=np.full((1, 4, 4, 3), 0.6, np.float32), res=res,
+    )
+
+
+def _render_sphere(s, **kw):
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    rgb, _ = render_textured(
+        jnp.asarray(s["tri_px"]), jnp.asarray(s["tri_uv"]),
+        jnp.asarray(s["tri_mat"]), jnp.asarray(s["tri_n"]),
+        jnp.asarray(s["tex"]), s["res"], s["res"], flip_y=False,
+        light_dir=(0.4, 0.0, 1.0), ambient=0.3,
+        tri_w=jnp.asarray(s["tri_w"]), shadow_casters=jnp.asarray(s["casters"]),
+        **kw,
+    )
+    return np.asarray(rgb)
+
+
+def test_specular_highlight():
+    """GGX specular puts a bright lobe near the half-vector-aligned normals
+    and leaves grazing regions Lambertian (reference fidelity target: the
+    Cycles Principled BSDF, ``blenderproc.py:100-113``)."""
+    s = _sphere_scene()
+    base = _render_sphere(s)
+    spec = _render_sphere(s, specular=0.6, roughness=0.3)
+    diff = spec - base
+    assert diff.min() >= -1e-5  # specular only adds energy
+    # highlight: the brightest gain sits on the sphere's light-facing side
+    # (light from +x overhead -> highlight right of center)
+    gain = diff.mean(-1)
+    yy, xx = np.unravel_index(gain.argmax(), gain.shape)
+    assert gain.max() > 0.15
+    assert xx > s["res"] // 2
+    # ground far from the sphere gains almost nothing (normals misaligned)
+    assert gain[4, 4] < 0.05
+
+
+def test_env_map_sky_term():
+    """A sky/ground environment makes upward-facing pixels cooler/brighter
+    than the flat-ambient render in the BLUE channel specifically."""
+    from coma_tpu.lifting.rasterizer import make_sky_env, sample_env
+
+    env = make_sky_env()
+    assert env.shape[-1] == 3 and float(env.min()) >= 0.0
+    # zenith is bluer than the ground band
+    import jax.numpy as jnp
+
+    up = np.asarray(sample_env(jnp.asarray(env), jnp.asarray([[0.0, 0.0, 1.0]])))[0]
+    dn = np.asarray(sample_env(jnp.asarray(env), jnp.asarray([[0.0, 0.0, -1.0]])))[0]
+    assert up[2] > dn[2] + 0.2
+
+    s = _sphere_scene()
+    flat = _render_sphere(s)
+    sky = _render_sphere(s, env_map=jnp.asarray(env))
+    # the ground plane (normal +z) sees the sky: blue/red balance shifts up
+    br_flat = flat[4, 4, 2] - flat[4, 4, 0]
+    br_sky = sky[4, 4, 2] - sky[4, 4, 0]
+    assert br_sky > br_flat + 0.01
+
+
+def test_filmic_tonemap_rolloff():
+    from coma_tpu.lifting.rasterizer import filmic_tonemap
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray([0.0, 0.18, 1.0, 4.0])
+    y = np.asarray(filmic_tonemap(x))
+    assert y[0] == 0.0
+    assert 0.1 < y[1] < 0.3          # mid-grey stays mid
+    assert 0.7 < y[2] < 0.95         # shoulder: 1.0 maps below clip
+    assert y[3] > y[2] and y[3] <= 1.0  # highlights compress, don't clip flat
+    # monotone
+    assert (np.diff(y) > 0).all()
+
+
+def test_photoreal_golden_image():
+    """Golden-image regression for the full photoreal stack (shadows + AO +
+    soft light + GGX specular + sky env + filmic tonemap) on the sphere-on-
+    ground fixture — the render configuration the BEHAVE-backpack category
+    uses (VERDICT r3 item 7). Regenerate with
+    ``python tools/make_photoreal_compare.py --write-golden`` after an
+    intentional change."""
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import make_sky_env
+
+    s = _sphere_scene()
+    rgb = _render_sphere(
+        s, ao_samples=8, light_samples=8, light_cone_deg=8.0,
+        specular=0.5, roughness=0.35, env_map=jnp.asarray(make_sky_env()),
+        tonemap=True,
+    )
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "photoreal_sphere.npz")
+    if not os.path.exists(path):  # first run bootstraps the golden
+        np.savez_compressed(path, rgb=(rgb * 255).astype(np.uint8))
+    want = np.load(path)["rgb"].astype(np.float32) / 255.0
+    np.testing.assert_allclose(rgb, want, atol=2.5 / 255.0)
+
+
 def test_render_object_views_textured_contact_shadow(textured_quad):
     """Pipeline-level: a grounded object produces a contact shadow in the
     default (shadows=True) render and none with shadows=False."""
