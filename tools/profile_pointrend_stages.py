@@ -26,10 +26,6 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from coma_tpu.cli._common import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()  # the fused e2e graphs take minutes cold
-
 from coma_tpu.models.pointrend import (  # noqa: E402
     PointRendConfig,
     PointRendModel,
@@ -64,6 +60,12 @@ def timed_ms(fn, *args, chain_with=None):
 
 
 def main():
+    # in main(), not at module import: importing this tool must not mutate
+    # global JAX config or create cache dirs (read-only-HOME environments)
+    from coma_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()  # the fused e2e graphs take minutes cold
+
     cfg = PointRendConfig(test_size=RES, pre_nms_topk=256, post_nms_topk=128,
                           box_candidates=64, max_detections=8)
     model = PointRendModel(cfg)
