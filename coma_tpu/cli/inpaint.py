@@ -325,6 +325,8 @@ def build_pipeline(args):
         ),
     )
 
+    clip_apply = jax.jit(clip.apply)  # one compile per batch shape
+
     def encode_prompts(texts):
         tok = params.get("tokenizer")
         if tok is None:
@@ -335,7 +337,7 @@ def build_pipeline(args):
                 ids[i] = rng.integers(0, 1000, size=77)
         else:
             ids = tok(texts)
-        return clip.apply(params["clip"], jnp.asarray(ids))
+        return clip_apply(params["clip"], jnp.asarray(ids))
 
     run_params = {k: v for k, v in params.items() if k != "tokenizer"}
     return pipe, run_params, encode_prompts, res

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="person-mask backend: the trainable U-Net or the "
                              "converted detectron2 PointRend (reference default)")
     parser.add_argument("--segmenter_params", type=str, help="params store (.npz/pickle)")
+    parser.add_argument("--mode", type=str, default="coco",
+                        choices=["coco", "lvis", "odise"],
+                        help="category vocabulary (reference "
+                             "segment_human.py:193; only 'coco' is "
+                             "implemented there too — lvis/odise raise)")
     parser.add_argument("--threshold", type=float, default=0.8)
     parser.add_argument("--only_full_body_prompts", action="store_true", default=False)
     parser.add_argument("--batch_size", type=int, default=16)
@@ -81,6 +86,12 @@ def main(argv=None) -> None:
     from coma_tpu.models.segmentation import connected_instances
 
     args = build_parser().parse_args(argv)
+    from coma_tpu.config.segmentation import run_mode_supported
+
+    if not run_mode_supported(args.mode):
+        raise NotImplementedError(
+            f"segmentation mode {args.mode!r} (reference parity: "
+            "segment_human.py:177-181 raises for lvis/odise too)")
     seed_everything(args.seed)
     enable_compilation_cache()
     supercats, cats = lower_all(args.supercategories), lower_all(args.categories)

@@ -26,6 +26,17 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("occupancy", help="occupancy probability field")
     c.add_argument("--occupancy_npy", required=True)
     c.add_argument("--out", default="output/occupancy.png")
+    c.add_argument("--mode", choices=("volume", "slices"), default="volume",
+                   help="'volume': ray-marched 3-D render (the reference's "
+                        "mayavi.mlab.pipeline.volume, visualize_occupancy.py"
+                        ":27-66); 'slices': slice grid + max-projections")
+    c.add_argument("--asset_downsample_pth",
+                   help="downsample pickle: composite the canonicalized "
+                        "object mesh into the volume render (reference "
+                        "visualize_occupancy.py:34-56)")
+    c.add_argument("--resolution", type=int, default=512)
+    c.add_argument("--elev", type=float, default=20.0)
+    c.add_argument("--azim", type=float, default=35.0)
     return parser
 
 
@@ -80,7 +91,31 @@ def main(argv=None) -> None:
 
     elif args.what == "occupancy":
         info = np.load(args.occupancy_npy, allow_pickle=True).item()
-        visualize_occupancy_slices(args.out, info["prob_field"])
+        if args.mode == "slices":
+            visualize_occupancy_slices(args.out, info["prob_field"])
+        else:
+            from coma_tpu.visualization.volume import (
+                save_occupancy_volume_render,
+            )
+
+            mesh = None
+            meta = info.get("spatial_grid_metadata") or {}
+            if args.asset_downsample_pth:
+                from coma_tpu.affordance.io import load_pickle
+
+                d = load_pickle(args.asset_downsample_pth)
+                verts = np.asarray(d["obj_vertices_original"], np.float32)
+                faces = np.asarray(d["obj_faces_original"], np.int64)
+                # canonicalize on the occupancy anchor vertex — the
+                # reference indexes the ORIGINAL vertices with the
+                # selected idx (0), visualize_occupancy.py:39-41
+                mesh = (verts - verts[0][None], faces)
+            save_occupancy_volume_render(
+                args.out, info["prob_field"], mesh=mesh,
+                voxel_size=float(meta.get("voxel_size", 1.0)),
+                resolution=args.resolution,
+                elev_deg=args.elev, azim_deg=args.azim,
+            )
         print(f"[visualize] wrote {args.out}")
 
 

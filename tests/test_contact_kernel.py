@@ -80,6 +80,31 @@ def test_fused_large_sigma_exact_path(rng):
     )
 
 
+def test_fused_lane_blocked_small(rng):
+    """Fast-lane representative of lane blocking: an explicit 128-lane
+    block on O=140 (Op=256, OB=2 chunks) runs the same chunked kernel
+    program as the auto-selected wide-O path at ~1/10 the interpreter
+    cost; the O>512 auto-selection itself is covered by the slow-lane
+    ``test_fused_lane_blocked_wide_o``."""
+    Hs, Os, Ns = 8, 140, 8
+    unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
+    hv = jnp.asarray(rng.normal(size=(2, Hs, 3)) * 0.3, dtype=jnp.float32)
+    hn = jnp.asarray(unit(rng.normal(size=(2, Hs, 3))), dtype=jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(2, Os, 3)) * 0.3, dtype=jnp.float32)
+    on = jnp.asarray(unit(rng.normal(size=(2, Os, 3))), dtype=jnp.float32)
+    state = init_coma_state(Hs, Os, Ns, 0.07, 0.24, 0.25)
+    ref = contact_update_batch(state, hv, hn, ov, on)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on,
+                                           lane_block=128)
+    for f in ("prob_grid_canon_human_wrt_obj", "prob_grid_canon_obj_wrt_human"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+@pytest.mark.slow
 def test_fused_lane_blocked_wide_o(rng):
     """v4 lane blocking (O > 512 auto-selects CO=256 chunks; see
     _canon_splat_kernel) matches the reference path bit-for-... closely.

@@ -169,9 +169,13 @@ def tiny_pipeline():
     H = 64  # latent 8x8: smallest size whose skips align through 3 downsamples
     h = H // 8
     k = jax.random.PRNGKey(0)
-    up = unet.init(k, jnp.zeros((1, h, h, 9)), jnp.zeros((1,)), jnp.zeros((1, 7, ucfg.cross_attention_dim)))
-    ep = enc.init(k, jnp.zeros((1, H, H, 3)))
-    dp = dec.init(k, jnp.zeros((1, h, h, 4)))
+    # jit the inits: one whole-graph compile (persistently cached across
+    # runs) instead of hundreds of op-by-op CPU compiles — the dominant
+    # cost of this module-scoped fixture on the single-core CI host.
+    up = jax.jit(unet.init)(k, jnp.zeros((1, h, h, 9)), jnp.zeros((1,)),
+                            jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+    ep = jax.jit(enc.init)(k, jnp.zeros((1, H, H, 3)))
+    dp = jax.jit(dec.init)(k, jnp.zeros((1, h, h, 4)))
 
     def segment_fn(images):  # stub person segmenter: bright-region threshold
         return (images.mean(-1) > 0.6).astype(jnp.float32)
@@ -366,16 +370,21 @@ def test_choose_crop_latent_buckets():
     assert choose_crop_latent(near_full, max_area_ratio=1.0) == 56
 
 
-def test_crop_rejects_decode_factor_combo(tiny_pipeline, rng):
-    build, segment_fn, H = tiny_pipeline
-    pipe = build(segment_fn)
+def test_crop_rejects_decode_factor_combo(rng):
+    """The config validation fires before any model math, so stub model
+    fns suffice — keeping the expensive tiny_pipeline fixture out of the
+    fast lane (its only other consumers are slow-lane tests)."""
+    H = 64
     pipe = AdaptiveMaskInpaintPipeline(
-        unet_fn=pipe.unet_fn,
-        vae_encode_fn=pipe.vae_encode_fn,
-        vae_decode_fn=pipe.vae_decode_fn,
-        segment_fn=pipe.segment_fn,
-        config=dataclasses.replace(
-            pipe.config, provoke_decode_factor=2, provoke_crop_latent=6
+        unet_fn=lambda lat, t, ctx: lat[..., :4],
+        vae_encode_fn=lambda img: jnp.zeros(
+            (img.shape[0], H // 8, H // 8, 8), img.dtype),
+        vae_decode_fn=lambda lat: jnp.zeros(
+            (lat.shape[0], H, H, 3), lat.dtype),
+        segment_fn=lambda images: (images.mean(-1) > 0.6).astype(jnp.float32),
+        config=AdaptiveMaskConfig(
+            num_inference_steps=50, provoke_decode_factor=2,
+            provoke_crop_latent=6,
         ),
     )
     img = jnp.zeros((1, H, H, 3))

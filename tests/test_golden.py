@@ -4,7 +4,8 @@ synthetic aggregation are frozen in tests/golden/ (generated 2026-08-16).
 The reference's de-facto integration test is re-deriving products from its
 released pre-trained pickles (SURVEY.md §4.3); these fixtures play that role
 hermetically — any change to the ComA math that shifts a product beyond f32
-reduction noise fails here and must be an intentional, documented change
+reduction noise (rtol 2e-5: a few ulps through the exp/arccos chains, which
+legitimately move with XLA version/opt-level) fails here and must be an intentional, documented change
 (then regenerate with the snippet in the git history of this file).
 """
 import os
@@ -39,7 +40,7 @@ def test_golden_aggregation_reproduces():
     np.testing.assert_allclose(
         np.asarray(state.prob_grid_canon_human_wrt_obj),
         np.asarray(stored.prob_grid_canon_human_wrt_obj),
-        atol=1e-6,
+        rtol=2e-5, atol=1e-6,
     )
 
 
@@ -47,15 +48,15 @@ def test_golden_products():
     state = load_coma_state(os.path.join(HERE, "golden", "coma_small.pickle"))
     ah, _ = aggregate_contact(state, "human", 0.0)
     ao, _ = aggregate_contact(state, "obj", 0.0)
-    np.testing.assert_allclose(np.asarray(ah), GOLDEN["aggr_human"], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(ao), GOLDEN["aggr_object"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ah), GOLDEN["aggr_human"], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ao), GOLDEN["aggr_object"], rtol=2e-5, atol=1e-6)
     cm = contact_map(state, which="human")
     np.testing.assert_allclose(
-        np.asarray(cm["human"]), GOLDEN["contact_map_human"], atol=1e-6
+        np.asarray(cm["human"]), GOLDEN["contact_map_human"], rtol=2e-5, atol=1e-6
     )
     ot = orientational_tendency(state, obj_index=0)
     np.testing.assert_allclose(
-        np.asarray(ot), GOLDEN["orientational_tendency"], atol=1e-6
+        np.asarray(ot), GOLDEN["orientational_tendency"], rtol=2e-5, atol=1e-6
     )
 
 
@@ -66,5 +67,5 @@ def test_golden_occupancy_product():
         jnp.asarray(GOLDEN["inputs_ov"]),
     )
     np.testing.assert_allclose(
-        np.asarray(occupancy_product(occ)), GOLDEN["occupancy_product"], atol=1e-6
+        np.asarray(occupancy_product(occ)), GOLDEN["occupancy_product"], rtol=2e-5, atol=1e-6
     )

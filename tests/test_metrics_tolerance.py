@@ -43,6 +43,20 @@ def _pair(depth, off):
     return (va, fa), (vb, fb), depth * ey * ez
 
 
+def test_estimator_error_bound_res32_smoke():
+    """Fast-lane representative of the error-bound gate: one case at
+    res=32 (the res=64 compile alone costs ~20 s on the single-core CI
+    host). The production res=64 bound is pinned by the slow-lane
+    parametrized test below."""
+    (va, fa), (vb, fb), exact = _pair(0.05, (0.0, 0.0))
+    est = float(intersection_volume_ratio(
+        jnp.asarray(va), jnp.asarray(fa), jnp.asarray(vb), jnp.asarray(fb),
+        resolution=32,
+    ))
+    assert abs(est - exact) < 0.02, (est, exact)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("depth,off", [
     (0.03, (0.1, -0.2)),
     (0.05, (0.0, 0.0)),

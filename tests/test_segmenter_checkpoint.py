@@ -46,6 +46,21 @@ def test_checkpoint_loads_into_model(model_and_params):
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+def test_held_out_iou_gate_smoke(model_and_params):
+    """Fast-lane gate: first 8 images of the held-out stream (deterministic
+    seed). The full 2x16 eval is the slow-lane ``test_held_out_iou_gate``."""
+    from coma_tpu.models.segmentation_train import SegTrainer
+    from coma_tpu.models.synthetic_person import person_batch
+
+    model, params = model_and_params
+    trainer = SegTrainer(model, None)
+    rng = np.random.default_rng(EVAL_SEED)
+    imgs, masks = person_batch(rng, 8, SIZE)
+    miou = float(trainer.iou(params, jnp.asarray(imgs), jnp.asarray(masks)))
+    assert miou >= 0.68, f"held-out (8-img smoke) mIoU {miou:.3f} below gate"
+
+
+@pytest.mark.slow
 def test_held_out_iou_gate(model_and_params):
     """Mean IoU on the held-out stream must clear the gate."""
     from coma_tpu.models.segmentation_train import SegTrainer
@@ -75,6 +90,28 @@ def _batch_with_people(seed, batch, size):
     raise AssertionError("generator produced no all-person batch in 50 tries")
 
 
+def test_cross_domain_holdout_iou_gate_smoke(model_and_params):
+    """Fast-lane cross-domain gate: one 8-image batch over a 4-scene
+    holdout pool; the full 2x16 eval is the slow-lane test below."""
+    from coma_tpu.models.segmentation_train import SegTrainer
+    from coma_tpu.models.synthetic_person import (
+        person_batch_domain,
+        rendered_background_pool,
+    )
+
+    model, params = model_and_params
+    trainer = SegTrainer(model, None)
+    pool = rendered_background_pool(EVAL_SEED, n=4, size=SIZE, holdout=True)
+    rng = np.random.default_rng(EVAL_SEED + 1)
+    imgs, masks = person_batch_domain(
+        rng, 8, SIZE, background="rendered_holdout", corrupt=True,
+        bg_pool=pool,
+    )
+    miou = float(trainer.iou(params, jnp.asarray(imgs), jnp.asarray(masks)))
+    assert miou >= 0.55, f"cross-domain (8-img smoke) mIoU {miou:.3f}"
+
+
+@pytest.mark.slow
 def test_cross_domain_holdout_iou_gate(model_and_params):
     """CROSS-DOMAIN gate (VERDICT r2 task 4): eval on a distribution the
     checkpoint never trained on — capsule humans composited into
@@ -110,7 +147,7 @@ def test_generalizes_across_resolution(model_and_params):
     from coma_tpu.models.segmentation import person_probs_canonical
 
     model, params = model_and_params
-    imgs, masks = _batch_with_people(EVAL_SEED + 1, 4, 256)
+    imgs, masks = _batch_with_people(EVAL_SEED + 1, 2, 256)
     probs = np.asarray(person_probs_canonical(model, params, jnp.asarray(imgs)))
     pred = probs >= 0.5
     gt = masks > 0.5

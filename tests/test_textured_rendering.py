@@ -457,13 +457,18 @@ def test_filmic_tonemap_rolloff():
     assert (np.diff(y) > 0).all()
 
 
+@pytest.mark.slow
 def test_photoreal_golden_image():
     """Golden-image regression for the full photoreal stack (shadows + AO +
     soft light + GGX specular + sky env + filmic tonemap) on the sphere-on-
     ground fixture — the render configuration the BEHAVE-backpack category
     uses (VERDICT r3 item 7). Regenerate with
     ``python tools/make_photoreal_compare.py --write-golden`` after an
-    intentional change."""
+    intentional change.
+
+    Slow lane: the all-features graph is the most expensive compile in the
+    render test set (~60 s cold on the 1-core CI host); each feature keeps
+    its own fast-lane property test above."""
     import jax.numpy as jnp
 
     from coma_tpu.lifting.rasterizer import make_sky_env

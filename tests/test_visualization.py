@@ -53,8 +53,15 @@ def test_visualize_cli_occupancy(tmp_path, monkeypatch, rng):
     monkeypatch.chdir(tmp_path)
     info = dict(prob_field=rng.uniform(size=(8, 8, 8)), spatial_grid_metadata={})
     np.save("occ.npy", info)
-    cli_viz.main(["occupancy", "--occupancy_npy", "occ.npy", "--out", "occ.png"])
+    # small resolution: the production default (512, num_steps=192) is a
+    # ~20 s compile on the CPU CI host; tests/test_volume_render.py covers
+    # the volume path's semantics at test scale
+    cli_viz.main(["occupancy", "--occupancy_npy", "occ.npy", "--out",
+                  "occ.png", "--resolution", "64"])
     assert os.path.exists("occ.png")
+    cli_viz.main(["occupancy", "--occupancy_npy", "occ.npy", "--out",
+                  "occ_slices.png", "--mode", "slices"])
+    assert os.path.exists("occ_slices.png")
 
 
 def test_write_message_on_img():

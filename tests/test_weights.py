@@ -312,12 +312,13 @@ def test_cli_build_pipeline_uses_checkpoint_configs(tmp_path, monkeypatch):
         clip = CLIPTextEncoder(ccfg)
         k = jax.random.PRNGKey(0)
         return dict(
-            unet=unet.init(k, jnp.zeros((1, 8, 8, 9), ucfg.dtype),
+            unet=jax.jit(unet.init)(
+                           k, jnp.zeros((1, 8, 8, 9), ucfg.dtype),
                            jnp.zeros((1,)),
                            jnp.zeros((1, 77, ucfg.cross_attention_dim),
                                      ucfg.dtype)),
             vae_encoder=None, vae_decoder=None,
-            clip=clip.init(k, jnp.zeros((1, 77), jnp.int32)),
+            clip=jax.jit(clip.init)(k, jnp.zeros((1, 77), jnp.int32)),
             tokenizer=None, segmenter=None,
         )
 
@@ -327,8 +328,10 @@ def test_cli_build_pipeline_uses_checkpoint_configs(tmp_path, monkeypatch):
     pipe, run_params, encode_prompts, res = cli.build_pipeline(args)
     assert res == 512
     # both applies would raise ScopeParamShapeError with the SD-1.x modules
+    # (jitted: whole-graph compiles hit the persistent test cache, vs
+    # hundreds of op-by-op compiles eager on the 1-core CI host)
     emb = encode_prompts(["a person"])
     assert emb.shape == (1, 77, 32)
-    out = pipe.unet_fn(run_params, jnp.zeros((1, 8, 8, 9)),
-                       jnp.zeros((1,)), jnp.zeros((1, 77, 48)))
+    out = jax.jit(pipe.unet_fn)(run_params, jnp.zeros((1, 8, 8, 9)),
+                                jnp.zeros((1,)), jnp.zeros((1, 77, 48)))
     assert out.shape == (1, 8, 8, 4)
