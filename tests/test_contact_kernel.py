@@ -13,15 +13,20 @@ from coma_tpu.affordance.contact import contact_update_batch
 from coma_tpu.affordance.state import init_coma_state
 from coma_tpu.ops.contact_kernel import acos_f32, fused_contact_update_batch
 
-H, O, N = 48, 20, 40
+# fast-lane dims: every kernel code path (slab padding, valid masking,
+# poly-vs-exact arccos) is shape-independent, and the interpreter's cost
+# scales with H*O*N — the production-scale parity run (48, 20, 40) lives
+# in the slow lane below
+H, O, N = 32, 20, 24
 
 
-def make_batch(rng, B):
+def make_batch(rng, B, h=None, o=None):
+    h, o = h or H, o or O
     unit = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)
-    hv = jnp.asarray(rng.normal(size=(B, H, 3)) * 0.3, dtype=jnp.float32)
-    hn = jnp.asarray(unit(rng.normal(size=(B, H, 3))), dtype=jnp.float32)
-    ov = jnp.asarray(rng.normal(size=(B, O, 3)) * 0.3, dtype=jnp.float32)
-    on = jnp.asarray(unit(rng.normal(size=(B, O, 3))), dtype=jnp.float32)
+    hv = jnp.asarray(rng.normal(size=(B, h, 3)) * 0.3, dtype=jnp.float32)
+    hn = jnp.asarray(unit(rng.normal(size=(B, h, 3))), dtype=jnp.float32)
+    ov = jnp.asarray(rng.normal(size=(B, o, 3)) * 0.3, dtype=jnp.float32)
+    on = jnp.asarray(unit(rng.normal(size=(B, o, 3))), dtype=jnp.float32)
     return hv, hn, ov, on
 
 
@@ -49,6 +54,29 @@ def test_fused_matches_reference_path(rng, B):
             rtol=1e-4, atol=1e-5,
         )
     assert float(fused.used_count) == B
+
+
+@pytest.mark.slow
+def test_fused_matches_reference_path_production_scale(rng):
+    """Slow-lane parity at the qual production config (H=48, O=20, N=40,
+    B=5 with slab padding) — the exact shapes the fast lane ran before the
+    dims were shrunk for CI budget."""
+    Hp, Op, Np = 48, 20, 40
+    hv, hn, ov, on = make_batch(rng, 5, h=Hp, o=Op)
+    state = init_coma_state(Hp, Op, Np, 0.07, 0.24, 0.25)
+    ref = contact_update_batch(state, hv, hn, ov, on)
+    with pltpu.force_tpu_interpret_mode():
+        fused = fused_contact_update_batch(state, hv, hn, ov, on)
+    for f in (
+        "prob_grid_canon_human_wrt_obj",
+        "prob_grid_canon_obj_wrt_human",
+        "contact_dist_expectation_grid_nom",
+        "significant_contact_count",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-4, atol=1e-5,
+        )
 
 
 def test_fused_respects_valid_mask(rng):

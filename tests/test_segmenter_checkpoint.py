@@ -91,8 +91,9 @@ def _batch_with_people(seed, batch, size):
 
 
 def test_cross_domain_holdout_iou_gate_smoke(model_and_params):
-    """Fast-lane cross-domain gate: one 8-image batch over a 4-scene
-    holdout pool; the full 2x16 eval is the slow-lane test below."""
+    """Fast-lane cross-domain gate: one 8-image batch over a 2-scene
+    holdout pool; the full 2x16 eval over 8 scenes is the slow-lane test
+    below."""
     from coma_tpu.models.segmentation_train import SegTrainer
     from coma_tpu.models.synthetic_person import (
         person_batch_domain,
@@ -101,7 +102,7 @@ def test_cross_domain_holdout_iou_gate_smoke(model_and_params):
 
     model, params = model_and_params
     trainer = SegTrainer(model, None)
-    pool = rendered_background_pool(EVAL_SEED, n=4, size=SIZE, holdout=True)
+    pool = rendered_background_pool(EVAL_SEED, n=2, size=SIZE, holdout=True)
     rng = np.random.default_rng(EVAL_SEED + 1)
     imgs, masks = person_batch_domain(
         rng, 8, SIZE, background="rendered_holdout", corrupt=True,

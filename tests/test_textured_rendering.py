@@ -384,17 +384,23 @@ def _sphere_scene(res=64, n_lat=24, n_lon=24):
     )
 
 
-def _render_sphere(s, **kw):
+def _render_sphere(s, shadows=True, **kw):
+    """``shadows=False`` drops the world-space pass (no shadow map / AO
+    machinery compiles) — the specular/env property tests assert on shading
+    terms that don't involve visibility, and the shadow-bearing configs
+    each cost a distinct multi-pass compile on the CPU CI host."""
     import jax.numpy as jnp
 
     from coma_tpu.lifting.rasterizer import render_textured
 
+    if shadows:
+        kw = dict(tri_w=jnp.asarray(s["tri_w"]),
+                  shadow_casters=jnp.asarray(s["casters"]), **kw)
     rgb, _ = render_textured(
         jnp.asarray(s["tri_px"]), jnp.asarray(s["tri_uv"]),
         jnp.asarray(s["tri_mat"]), jnp.asarray(s["tri_n"]),
         jnp.asarray(s["tex"]), s["res"], s["res"], flip_y=False,
         light_dir=(0.4, 0.0, 1.0), ambient=0.3,
-        tri_w=jnp.asarray(s["tri_w"]), shadow_casters=jnp.asarray(s["casters"]),
         **kw,
     )
     return np.asarray(rgb)
@@ -405,8 +411,8 @@ def test_specular_highlight():
     and leaves grazing regions Lambertian (reference fidelity target: the
     Cycles Principled BSDF, ``blenderproc.py:100-113``)."""
     s = _sphere_scene()
-    base = _render_sphere(s)
-    spec = _render_sphere(s, specular=0.6, roughness=0.3)
+    base = _render_sphere(s, shadows=False)
+    spec = _render_sphere(s, shadows=False, specular=0.6, roughness=0.3)
     diff = spec - base
     assert diff.min() >= -1e-5  # specular only adds energy
     # highlight: the brightest gain sits on the sphere's light-facing side
@@ -434,8 +440,8 @@ def test_env_map_sky_term():
     assert up[2] > dn[2] + 0.2
 
     s = _sphere_scene()
-    flat = _render_sphere(s)
-    sky = _render_sphere(s, env_map=jnp.asarray(env))
+    flat = _render_sphere(s, shadows=False)
+    sky = _render_sphere(s, shadows=False, env_map=jnp.asarray(env))
     # the ground plane (normal +z) sees the sky: blue/red balance shifts up
     br_flat = flat[4, 4, 2] - flat[4, 4, 0]
     br_sky = sky[4, 4, 2] - sky[4, 4, 0]
