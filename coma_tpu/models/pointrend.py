@@ -599,21 +599,26 @@ def merged_person_mask(
     ys = (jnp.arange(ph, dtype=jnp.float32) + 0.5) * (H / ph)
     xs = (jnp.arange(pw, dtype=jnp.float32) + 0.5) * (W / pw)
 
+    taps = jnp.arange(S, dtype=jnp.float32)
+
     def paste_one(l, b, k):
-        u = (xs[None, :] - b[0]) / jnp.maximum(b[2] - b[0], 1e-6)
-        v = (ys[:, None] - b[1]) / jnp.maximum(b[3] - b[1], 1e-6)
-        inside = (u > 0) & (u < 1) & (v > 0) & (v < 1)
-        coords = jnp.stack(
-            [jnp.broadcast_to(u, (ph, pw)), jnp.broadcast_to(v, (ph, pw))],
-            axis=-1,
-        )
-        vals = grid_sample_bilinear(l[..., None].astype(jnp.float32), coords)[..., 0]
+        u = (xs - b[0]) / jnp.maximum(b[2] - b[0], 1e-6)  # (pw,)
+        v = (ys - b[1]) / jnp.maximum(b[3] - b[1], 1e-6)  # (ph,)
+        # Bilinear sampling is separable: the grid_sample at continuous
+        # position p = coord*S - 0.5 with zero padding equals
+        # sum_a relu(1 - |p - a|) * l[a] over the S taps, so the whole
+        # (ph, pw) paste is two matmuls (MXU) instead of 4 gathers per pixel
+        # (gathers don't vectorize on TPU; the 1.7 s/batch stage measured in
+        # docs/KERNELS.md was exactly this).
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs((v * S - 0.5)[:, None] - taps))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs((u * S - 0.5)[:, None] - taps))
+        vals = wy @ l.astype(jnp.float32) @ wx.T  # (ph, pw)
+        inside = ((v > 0) & (v < 1))[:, None] & ((u > 0) & (u < 1))[None, :]
         return (vals > 0) & inside & k
 
     # scan-accumulate rather than vmap+any: only one (ph, pw) paste is live
     # at a time, so the fused provoke-step graph never materializes the
-    # (R, ph, pw) stack through the merge reduction (the f32 stride-1 paste
-    # blowup measured in docs/KERNELS.md)
+    # (R, ph, pw) stack through the merge reduction
     merged, _ = jax.lax.scan(
         lambda acc, xs_: (acc | paste_one(*xs_), None),
         jnp.zeros((ph, pw), bool),
