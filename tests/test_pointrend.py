@@ -283,6 +283,53 @@ def test_merged_person_mask_fabricated_det():
     assert not mask[35, 70]  # invalid slot's box excluded
 
 
+def test_merged_person_mask_matches_gather_oracle():
+    """The separable-matmul paste (W_y @ logits @ W_x^T with relu-triangle
+    tap weights — the MXU form) must reproduce the gather-based bilinear
+    paste exactly: grid_sample at p = coord*S - 0.5 with zero padding, per
+    detection, merged with |. Randomized boxes incl. partially and fully
+    out-of-frame ones."""
+    rng = _seed_all(7)
+    R, S, H, W = 6, 28, 96, 96
+
+    def oracle(det, stride):
+        ph, pw = H // stride, W // stride
+        boxes = np.asarray(det["boxes"]) * np.asarray([0.9, 1.1, 0.9, 1.1])
+        keep = (np.asarray(det["valid"]) & (np.asarray(det["classes"]) == 0)
+                & (np.asarray(det["scores"]) >= 0.8))
+        logits = np.asarray(det["mask_logits"], np.float32)
+        ys = (np.arange(ph) + 0.5) * (H / ph)
+        xs = (np.arange(pw) + 0.5) * (W / pw)
+        merged = np.zeros((ph, pw), bool)
+        for r in range(R):
+            b = boxes[r]
+            u = (xs[None, :] - b[0]) / max(b[2] - b[0], 1e-6)
+            v = (ys[:, None] - b[1]) / max(b[3] - b[1], 1e-6)
+            inside = (u > 0) & (u < 1) & (v > 0) & (v < 1)
+            coords = np.stack([np.broadcast_to(u, (ph, pw)),
+                               np.broadcast_to(v, (ph, pw))], -1)
+            vals = np.asarray(grid_sample_bilinear(
+                jnp.asarray(logits[r])[..., None], jnp.asarray(coords)))[..., 0]
+            merged |= (vals > 0) & inside & bool(keep[r])
+        if stride > 1:
+            merged = np.repeat(np.repeat(merged, stride, 0), stride, 1)
+        return merged
+
+    x0y0 = rng.uniform(-20, W, (R, 2))
+    wh = rng.uniform(4, 80, (R, 2))
+    det = {
+        "boxes": jnp.asarray(np.concatenate([x0y0, x0y0 + wh], -1), jnp.float32),
+        "valid": jnp.asarray(rng.random(R) > 0.2),
+        "classes": jnp.asarray(rng.integers(0, 2, R)),
+        "scores": jnp.asarray(rng.uniform(0.5, 1.0, R), jnp.float32),
+        "mask_logits": jnp.asarray(rng.normal(0, 2, (R, S, S)), jnp.float32),
+    }
+    for stride in (1, 2):
+        ours = np.asarray(pr.merged_person_mask(
+            det, (H, W), (1.1, 0.9), paste_stride=stride))
+        np.testing.assert_array_equal(ours, oracle(det, stride))
+
+
 @pytest.mark.slow
 def test_pointrend_segment_fn_smoke(mirror_and_params):
     """The batched in-scan segment_fn jits at a tiny test size and returns
