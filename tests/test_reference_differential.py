@@ -52,8 +52,18 @@ H, O, N = 37, 23, 50
 GRID_SIZE, THRES, SIGMA, EPS = 0.07, 0.12, 0.25, 1e-8
 
 
+_STUBBED: list[str] = []
+
+
 def _stub(name, **attrs):
-    mod = sys.modules.get(name) or types.ModuleType(name)
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        # a real ModuleSpec: importlib.util.find_spec raises ValueError on
+        # an installed module whose __spec__ is None, which broke any later
+        # transformers import (its optional-dep probe scans sys.modules)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        _STUBBED.append(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -132,7 +142,16 @@ def ref():
         }
     finally:
         sys.path.remove(REFERENCE_ROOT)
-    return types.SimpleNamespace(**mods)
+    yield types.SimpleNamespace(**mods)
+    # drop the stubs (and the reference's own modules, which shadow real
+    # top-level names like ``constants``/``utils``) so later tests in the
+    # same process import the real packages
+    for name in _STUBBED:
+        sys.modules.pop(name, None)
+    _STUBBED.clear()
+    for name in list(sys.modules):
+        if name == "utils" or name.startswith("utils."):
+            sys.modules.pop(name)
 
 
 def _unit(x):
