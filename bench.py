@@ -25,9 +25,12 @@ an ORCHESTRATOR that never touches the TPU backend itself:
   waited on), sharing the persistent XLA compile cache;
 - sections run cheapest/headline-first; the mini-category e2e runs LAST and
   only if budget remains;
-- a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1380 s)
+- a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1440 s)
   gates every section start: a section that cannot fit in the remaining
   budget is skipped and recorded as ``skipped (budget)``;
+- related secondary measurements share one subprocess (the backend attach
+  alone costs 20-90 s on this tunnel, and the 50-step pipeline re-traces
+  per process — only the XLA compile is cached across processes);
 - the final JSON line is printed exactly once, also on SIGTERM/SIGINT/
   normal-exit via atexit, with whatever has been measured by then.
 """
@@ -52,7 +55,7 @@ BASELINE_ITERS = 2
 # TPU v5e (v5 lite) bf16 peak; used only for the MFU figure
 V5E_BF16_PEAK = 197e12
 
-DEFAULT_BUDGET_S = 1380.0
+DEFAULT_BUDGET_S = 1440.0
 
 
 def make_samples(b):
@@ -405,6 +408,23 @@ def section_pipe_fast() -> dict:
         _pipeline_rate(provoke_decode_factor=2), 4)}
 
 
+def section_pipe_pointrend_both() -> dict:
+    """Both in-loop PointRend variants in one subprocess: they share the
+    imports and the backend attach (~60-90 s each on this tunnel), and they
+    matter as a pair (exact vs --pointrend_fast)."""
+    out = section_pipe_pointrend_fast()
+    out.update(section_pipe_pointrend())
+    return out
+
+
+def section_pipe_modes() -> dict:
+    """The two secondary decode modes (fast, crop) in one subprocess —
+    same attach-sharing rationale."""
+    out = section_pipe_fast()
+    out.update(section_pipe_crop())
+    return out
+
+
 def section_pipe_crop() -> dict:
     # crop mode (`--provoke_crop`): decode/segment/re-encode only the
     # default-mask bbox window. Bucket chosen exactly as the CLI does, from
@@ -513,8 +533,10 @@ SECTION_FNS = {
     "torch_baselines": section_torch_baselines,
     "pipe_pointrend_fast": section_pipe_pointrend_fast,
     "pipe_pointrend": section_pipe_pointrend,
+    "pipe_pointrend_both": section_pipe_pointrend_both,
     "pipe_fast": section_pipe_fast,
     "pipe_crop": section_pipe_crop,
+    "pipe_modes": section_pipe_modes,
     "dp_scaling": section_dp_scaling,
     "e2e": section_e2e,
 }
@@ -531,10 +553,8 @@ SECTION_PLAN = [
     ("pipe_exact",          True,  240),
     ("coma",                True,  120),
     ("unet_step",           True,  120),
-    ("pipe_pointrend_fast", True,  240),
-    ("pipe_pointrend",      True,  240),
-    ("pipe_fast",           True,  180),
-    ("pipe_crop",           True,  180),
+    ("pipe_pointrend_both", True,  300),
+    ("pipe_modes",          True,  300),
     ("dp_scaling",          False, 120),
     ("e2e",                 True,  420),
 ]
