@@ -28,9 +28,6 @@ an ORCHESTRATOR that never touches the TPU backend itself:
 - a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1440 s)
   gates every section start: a section that cannot fit in the remaining
   budget is skipped and recorded as ``skipped (budget)``;
-- related secondary measurements share one subprocess (the backend attach
-  alone costs 20-90 s on this tunnel, and the 50-step pipeline re-traces
-  per process — only the XLA compile is cached across processes);
 - the final JSON line is printed exactly once, also on SIGTERM/SIGINT/
   normal-exit via atexit, with whatever has been measured by then.
 """
@@ -552,12 +549,20 @@ SECTION_FNS = {
 SECTION_PLAN = [
     ("pipe_exact",          True,  240),
     ("coma",                True,  120),
+    ("pipe_modes",          True,  300),
     ("unet_step",           True,  120),
     ("pipe_pointrend_both", True,  300),
-    ("pipe_modes",          True,  300),
     ("dp_scaling",          False, 120),
     ("e2e",                 True,  420),
 ]
+
+# CACHE-KEY DISCIPLINE (hard-won, round 4): the persistent-compile-cache key
+# embeds the source line numbers of the lambdas/closures defined in THIS
+# file (they surface in the HLO via jax source info). Editing bench.py above
+# the sections area shifts those lines and silently invalidates every cached
+# pipeline compile (~15-20 min each to rebuild on this 1-CPU host). Make
+# edits BELOW the jit-relevant definitions (roughly: below SECTION_FNS), or
+# expect the next bench run to recompile the world.
 
 # torch_baselines never touches the chip, costs ~8 CPU-minutes, and its
 # numbers are a constant of this host — so they are measured ONCE and cached
