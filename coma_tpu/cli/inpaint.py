@@ -82,7 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "side, 'auto'=smallest bucket covering the "
                              "batch's bboxes (+halo). Alternative to "
                              "--provoke_decode_factor; approximate (VAE "
-                             "mid-attention couples the frame globally)")
+                             "mid-attention couples the frame globally). "
+                             "'auto' declines near-full-frame masks (bbox "
+                             "area > 75%% of the frame) and runs the exact "
+                             "full-frame path instead")
     parser.add_argument("--default_ddim_steps", type=int, default=50)
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--num_img_per_combination", type=int, default=NUM_IMG_PER_COMBINATION)

@@ -521,10 +521,15 @@ def render_textured(
         rgb = diffuse + spec[..., None]  # white highlight (dielectric)
     else:
         rgb = diffuse
-    rgb = jnp.where(covered[..., None], rgb, background)
+    # tonemap only covered pixels, THEN composite the background: the flat
+    # background is display-referred (the reference's render_objects pngs
+    # have a true-white backdrop) and must not be pulled to ~0.80 gray by
+    # the ACES curve (advisor r4)
     if tonemap:
-        return filmic_tonemap(rgb), covered
-    return jnp.clip(rgb, 0.0, 1.0), covered
+        rgb = filmic_tonemap(rgb)
+    else:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    return jnp.where(covered[..., None], rgb, background), covered
 
 
 def render_silhouette(

@@ -114,6 +114,11 @@ def render_occupancy_volume(
     volume samples behind the surface are occluded, the surface color is
     attenuated by the transmittance accumulated in front of it.
     """
+    # the slab scan below reshapes to (num_steps // slab, slab): round the
+    # step count UP to the next slab multiple so any num_steps works (the
+    # marched depth range is identical; only the step density changes)
+    num_steps = ((num_steps + slab - 1) // slab) * slab
+
     f = prob_field.astype(jnp.float32)
     vmax = jnp.maximum(f.max(), 1e-12)
     f = jnp.where(f > ignore_percentage * vmax, f, 0.0) / vmax

@@ -1,10 +1,12 @@
 """README perf figures must trace to driver-captured bench records.
 
-VERDICT r3 item 5: every number in README's driver-verified block is
-generated from the newest parsed ``BENCH_r*.json``; this test re-renders the
-block and fails when README drifts from that file (e.g. a hand-edited figure
-or a new bench capture not yet propagated with
-``tools/update_readme_perf.py``).
+VERDICT r3 item 5 + r4 item 3: every number in README's driver-verified
+block is generated from the parsed ``BENCH_r*.json`` records merged
+per-key-newest with provenance; this test re-renders the block and fails
+when README drifts (e.g. a hand-edited figure or a new bench capture not
+yet propagated with ``tools/update_readme_perf.py``), and unit-tests that
+the merge keeps the maximal key set — a thin capture must never erase
+previously driver-verified figures.
 """
 from __future__ import annotations
 
@@ -13,6 +15,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from update_readme_perf import load_parsed_records, merge_records  # noqa: E402
+
+sys.path.pop(0)
 
 
 def test_readme_perf_block_in_sync():
@@ -25,12 +31,35 @@ def test_readme_perf_block_in_sync():
 
 
 def test_a_parsed_bench_record_exists():
-    sys.path.insert(0, os.path.join(REPO, "tools"))
-    try:
-        from update_readme_perf import latest_bench
-    finally:
-        sys.path.pop(0)
-    got = latest_bench()
-    assert got is not None, "no BENCH_r*.json with parsed != null"
-    name, parsed = got
-    assert parsed.get("metric") == "hoi_2d_images_per_sec_per_chip"
+    recs = load_parsed_records()
+    assert recs, "no BENCH_r*.json with parsed != null"
+    merged, prov = merge_records(recs)
+    assert merged.get("value") is not None
+    assert recs[-1][1].get("metric") == "hoi_2d_images_per_sec_per_chip"
+
+
+def test_merge_keeps_maximal_key_set():
+    """A newer, thinner record must not erase older keys; newer values win
+    on collision; provenance names the winning record per key."""
+    wide = ("BENCH_r02.json", {
+        "metric": "m", "value": 1.0, "vs_baseline": 10.0,
+        "extra": {"a": 1, "b": 2, "sections": {"x": 1}},
+    })
+    thin = ("BENCH_r04.json", {
+        "metric": "m", "value": 2.0, "vs_baseline": None,
+        "extra": {"b": 3, "c": None, "sections": {"y": 1}},
+    })
+    merged, prov = merge_records([wide, thin])
+    assert merged == {"value": 2.0, "vs_baseline": 10.0, "a": 1, "b": 3}
+    assert prov == {"value": "BENCH_r04.json", "vs_baseline": "BENCH_r02.json",
+                    "a": "BENCH_r02.json", "b": "BENCH_r04.json"}
+
+
+def test_merge_excludes_foreign_headline_metric():
+    """Early rounds' differently-defined headline must not leak into
+    ``value``/``vs_baseline`` (round 1's metric was a ComA rate)."""
+    old = ("BENCH_r01.json", {"metric": "coma", "value": 70.9, "extra": {"a": 1}})
+    new = ("BENCH_r02.json", {"metric": "hoi", "value": 0.65, "extra": {}})
+    merged, prov = merge_records([old, new])
+    assert merged == {"value": 0.65, "a": 1}
+    assert prov["value"] == "BENCH_r02.json"

@@ -463,6 +463,24 @@ def test_filmic_tonemap_rolloff():
     assert (np.diff(y) > 0).all()
 
 
+def test_tonemap_preserves_flat_background():
+    """The flat backdrop is display-referred: tonemap applies to covered
+    pixels only, so a white background stays 255-white (advisor r4 — ACES
+    used to pull it to ~0.80 gray)."""
+    import jax.numpy as jnp
+
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    tri = jnp.asarray([[[2.0, 2.0, 0.0], [6.0, 2.0, 0.0], [4.0, 6.0, 0.0]]])
+    img, cov = render_textured(
+        tri, jnp.zeros((1, 3, 2)), jnp.zeros((1,), jnp.int32),
+        jnp.asarray([[0.0, 0.0, 1.0]]), jnp.full((1, 4, 4, 3), 0.5),
+        32, 32, tonemap=True)
+    img, cov = np.asarray(img), np.asarray(cov)
+    assert np.allclose(img[~cov], 1.0)
+    assert cov.any() and (img[cov] < 1.0).any()
+
+
 @pytest.mark.slow
 def test_photoreal_golden_image():
     """Golden-image regression for the full photoreal stack (shadows + AO +

@@ -46,6 +46,14 @@ def test_volume_render_centered_blob():
     assert (img[c - 4:c + 4, c - 4:c + 4].mean(axis=(0, 1)) < 0.95).any()
 
 
+def test_volume_render_rounds_num_steps_to_slab():
+    # num_steps=100 with slab=16 used to crash in the slab reshape
+    # (advisor r4); it now rounds up to 112 steps and renders
+    img = np.asarray(render_occupancy_volume(
+        jnp.asarray(_blob_field()), resolution=32, num_steps=100, slab=16))
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
 def test_volume_render_respects_ignore_threshold():
     """Values below 10% of max are zeroed (visualize_occupancy.py:26-28):
     a faint secondary blob must vanish from the render."""

@@ -1,11 +1,15 @@
 """Regenerate README's driver-captured performance block from BENCH_r*.json.
 
 Every number inside the README's ``BENCH:BEGIN/END`` markers is rendered
-from the NEWEST ``BENCH_r*.json`` whose ``parsed`` field is non-null — the
-driver-captured record of ``python bench.py`` on the real chip. A reader can
-trace each figure to a key in that file; ``tests/test_readme_perf.py``
-asserts the block is in sync (VERDICT r3 item 5). Builder-measured numbers
-live OUTSIDE the block, explicitly marked self-measured, with methodology in
+from the driver-captured ``BENCH_r*.json`` records of ``python bench.py`` on
+the real chip, merged PER-KEY-NEWEST across all parsed records (VERDICT r4
+item 3): a thin capture (a round where the budget only allowed a subset of
+sections) must never erase previously driver-verified figures. Each row
+carries the provenance record its value came from, so a reader can trace
+every figure to a key in a specific committed file.
+``tests/test_readme_perf.py`` asserts the block is in sync and that the
+merge keeps the maximal key set. Builder-measured numbers live OUTSIDE the
+block, explicitly marked self-measured, with methodology in
 ``docs/KERNELS.md``.
 
 Usage: python tools/update_readme_perf.py [--check]
@@ -23,10 +27,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- BENCH:BEGIN"
 END = "<!-- BENCH:END -->"
 
+# extra-dict keys that are context, not metrics — never rendered as rows
+NON_METRIC_KEYS = {"sections", "baseline_def", "coma_contact_chain_times_s",
+                   "crop_mode_latent_bucket", "extract_coma_production_breakdown",
+                   "inpaint_torch_cpu_imgs_per_sec",
+                   "coma_torch_cpu_samples_per_sec"}
 
-def latest_bench():
-    """(basename, record) of the newest BENCH_r*.json with parsed != null."""
-    best = None
+
+def load_parsed_records():
+    """All (basename, parsed) BENCH records with parsed != null, in round
+    order (BENCH_r01 < BENCH_r02 < ...)."""
+    recs = []
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
             with open(path) as fh:
@@ -34,71 +45,111 @@ def latest_bench():
         except (OSError, json.JSONDecodeError):
             continue
         if rec.get("parsed"):
-            best = (os.path.basename(path), rec["parsed"])
-    return best
+            recs.append((os.path.basename(path), rec["parsed"]))
+    return recs
+
+
+def merge_records(recs):
+    """Per-key-newest merge with provenance.
+
+    Returns (merged, prov): ``merged`` maps key -> value where a key's value
+    comes from the NEWEST record holding it non-null; ``prov`` maps the same
+    keys to the source record basename. The headline keys (``value``,
+    ``vs_baseline``) only merge across records whose ``metric`` matches the
+    newest record's metric — early rounds used a different headline metric
+    and must not leak into it.
+    """
+    if not recs:
+        return {}, {}
+    metric = recs[-1][1].get("metric")
+    merged, prov = {}, {}
+    for name, parsed in recs:  # ascending: later records overwrite
+        if parsed.get("metric") == metric:
+            for key in ("value", "vs_baseline"):
+                if parsed.get(key) is not None:
+                    merged[key] = parsed[key]
+                    prov[key] = name
+        for key, val in (parsed.get("extra") or {}).items():
+            if key in NON_METRIC_KEYS or val is None:
+                continue
+            merged[key] = val
+            prov[key] = name
+    return merged, prov
 
 
 def render_block() -> str:
-    name, parsed = latest_bench()
-    x = parsed.get("extra", {})
+    recs = load_parsed_records()
+    merged, prov = merge_records(recs)
 
-    def row(label, key, value, unit):
+    def row(label, key, unit):
+        value = merged.get(key)
         if value is None:
             return None
-        return f"| {label} | `{key}` | **{value}** {unit} |"
+        return (f"| {label} | `{key}` | **{value}** {unit} "
+                f"| `{prov[key]}` |")
+
+    def e2e_rows():
+        stages = merged.get("mini_category_stage_seconds")
+        if not isinstance(stages, dict):
+            return []
+        src = prov["mini_category_stage_seconds"]
+        label = ("Mini-category end-to-end, measured (1 view × 1 mask × "
+                 "1 prompt × 4 seeds through the real stage CLIs at 512 px)")
+        parts = ", ".join(f"{k} {v}s" for k, v in stages.items()
+                          if k not in ("total", "images"))
+        return [f"| {label}: {parts} | `mini_category_stage_seconds` | "
+                f"**{stages.get('total')}** s total "
+                f"({stages.get('images')} images) | `{src}` |"]
 
     rows = [
-        row("Full adaptive-mask inpainting, reference-exact (512², 50 DDIM "
-            "steps + 21 in-loop segment + VAE decode/encode rounds, batch 16)",
-            "value", parsed.get("value"), "img/s/chip"),
+        row("Full adaptive-mask inpainting (512², 50 DDIM steps + 21 in-loop "
+            "segment + VAE decode/encode rounds, in-loop U-Net segmenter, "
+            "batch 16)", "value", "img/s/chip"),
         row("… speedup vs the torch-CPU mirror of the dominant per-image "
-            "work on this host", "vs_baseline", parsed.get("vs_baseline"),
-            "×"),
-        row("… fast mode (`--provoke_decode_factor 2`, half-res provoke "
-            "decodes)", "hoi_2d_images_per_sec_fast_mode",
-            x.get("hoi_2d_images_per_sec_fast_mode"), "img/s/chip"),
-        row("… crop mode (`--provoke_crop auto`, bbox-window provoke rounds)",
-            "hoi_2d_images_per_sec_crop_mode",
-            x.get("hoi_2d_images_per_sec_crop_mode"), "img/s/chip"),
+            "work on this host", "vs_baseline", "×"),
         row("… with the reference-faithful in-loop PointRend segmenter "
-            "(R50-FPN at 512)", "hoi_2d_images_per_sec_pointrend_loop",
-            x.get("hoi_2d_images_per_sec_pointrend_loop"), "img/s/chip"),
+            "(R50-FPN at 512, 21 detector rounds/image)",
+            "hoi_2d_images_per_sec_pointrend_loop", "img/s/chip"),
         row("… in-loop PointRend, fast paste (`--pointrend_fast`)",
-            "hoi_2d_images_per_sec_pointrend_loop_fast",
-            x.get("hoi_2d_images_per_sec_pointrend_loop_fast"), "img/s/chip"),
+            "hoi_2d_images_per_sec_pointrend_loop_fast", "img/s/chip"),
+        row("… fast mode (`--provoke_decode_factor 2`, half-res provoke "
+            "decodes)", "hoi_2d_images_per_sec_fast_mode", "img/s/chip"),
+        row("… crop mode (`--provoke_crop auto`, bbox-window provoke rounds)",
+            "hoi_2d_images_per_sec_crop_mode", "img/s/chip"),
         row("SD-inpaint UNet CFG step (bf16, batch 16×2)",
-            "unet_cfg_step_ms", x.get("unet_cfg_step_ms"), "ms/batch"),
+            "unet_cfg_step_ms", "ms/batch"),
         row("… measured MFU (XLA cost analysis ÷ v5e bf16 peak)",
-            "unet_step_mfu", x.get("unet_step_mfu"), ""),
+            "unet_step_mfu", ""),
         row("BEHAVE-backpack 2D-stage category wall-clock (2400 images, "
             "projected from the measured rate)",
-            "behave_backpack_2d_category_wallclock_min_per_chip",
-            x.get("behave_backpack_2d_category_wallclock_min_per_chip"),
-            "min/chip"),
+            "behave_backpack_2d_category_wallclock_min_per_chip", "min/chip"),
         row("ComA contact aggregation (H=10475, O=180, N=250, fused Pallas)",
-            "coma_contact_aggregation_samples_per_sec",
-            x.get("coma_contact_aggregation_samples_per_sec"), "samples/s"),
+            "coma_contact_aggregation_samples_per_sec", "samples/s"),
         row("… object-contact shape (H=1000, O=1500)",
-            "coma_object_contact_samples_per_sec",
-            x.get("coma_object_contact_samples_per_sec"), "samples/s"),
+            "coma_object_contact_samples_per_sec", "samples/s"),
         row("… quant:full shape (H=750, O=2048)",
-            "coma_quant_full_samples_per_sec",
-            x.get("coma_quant_full_samples_per_sec"), "samples/s"),
+            "coma_quant_full_samples_per_sec", "samples/s"),
         row("ComA occupancy aggregation (H=10475, 30³ voxels)",
-            "coma_occupancy_aggregation_samples_per_sec",
-            x.get("coma_occupancy_aggregation_samples_per_sec"), "samples/s"),
+            "coma_occupancy_aggregation_samples_per_sec", "samples/s"),
         row("… ComA contact speedup vs the reference-style torch-CPU update",
-            "coma_vs_torch_cpu", x.get("coma_vs_torch_cpu"), "×"),
+            "coma_vs_torch_cpu", "×"),
+        row("Production extract_coma path (pickle load → host prep → fused "
+            "scan → export → product, qual human-contact shape)",
+            "extract_coma_production_samples_per_sec", "samples/s"),
+        *e2e_rows(),
     ]
+    srcs = ", ".join(f"`{name}`" for name, _ in recs)
     lines = [
-        f"{BEGIN} — generated by tools/update_readme_perf.py from {name}; "
-        "do not hand-edit -->",
+        f"{BEGIN} — generated by tools/update_readme_perf.py from the "
+        "parsed BENCH_r*.json records; do not hand-edit -->",
         "",
-        f"Driver-captured on one TPU v5e chip (`{name}`, the newest parsed "
-        "bench record; every figure is the value of the named key there):",
+        "Driver-captured on one TPU v5e chip. Figures are merged "
+        "per-key-newest across all parsed bench records "
+        f"({srcs}) so a thin capture never erases a driver-verified number; "
+        "the source column names the record each figure comes from:",
         "",
-        "| Workload | key | measured |",
-        "|---|---|---|",
+        "| Workload | key | measured | source |",
+        "|---|---|---|---|",
         *[r for r in rows if r],
         "",
         END,
@@ -117,8 +168,8 @@ def main():
     new = pattern.sub(lambda _: block, text)
     if "--check" in sys.argv:
         if new != text:
-            sys.exit("README.md perf block is out of sync with the newest "
-                     "parsed BENCH_r*.json — run tools/update_readme_perf.py")
+            sys.exit("README.md perf block is out of sync with the parsed "
+                     "BENCH_r*.json records — run tools/update_readme_perf.py")
         print("README perf block in sync")
         return
     with open(readme, "w") as fh:
