@@ -415,7 +415,8 @@ def bench_dp_scaling() -> dict:
 
 # ------------------------------------------- production extract_coma path
 
-def bench_extract_production(num_samples: int = 64, workdir: str = None):
+def bench_extract_production(num_samples: int = 64, workdir: str = None,
+                             h: int = H, o: int = O, n: int = N):
     """Measured samples/s of the PRODUCTION extraction path (VERDICT r4 item
     5): fabricate a reference-schema results tree with full-scale meshes
     (human = 10475 verts, the SMPL-X count; object = 180 points, the qual
@@ -423,6 +424,9 @@ def bench_extract_production(num_samples: int = 64, workdir: str = None):
     pickle loads, host prep (normals, index-downsample), the prefetching
     loader, the fused aggregation scan, state export, and the product save
     all included. (Ref: ``src/coma/extract_coma.py:383-426``.)
+
+    ``h``/``o``/``n`` exist so tests can drive the identical path at tiny
+    shapes on CPU; the bench section runs the reference qual defaults.
 
     Returns (samples_per_sec, breakdown_dict)."""
     import math
@@ -442,17 +446,20 @@ def bench_extract_production(num_samples: int = 64, workdir: str = None):
     constants = os.path.join(d, "constants", "mesh")
     os.makedirs(constants, exist_ok=True)
 
-    # full-scale human template: UV sphere at the SMPL-X vertex count
-    n_lat, n_lon = 103, 102  # 103*102 - 31 = 10475
+    # human template: UV sphere sliced to exactly h verts (h=10475 = the
+    # SMPL-X vertex count at the default)
+    n_lat = max(4, int(math.ceil(math.sqrt(h))) + 1)
+    n_lon = max(4, int(math.ceil(h / n_lat)))
     hv, hf = _uv_sphere(n_lat, n_lon)
-    hv = hv[:H]
-    hf = hf[(hf < H).all(axis=1)]
-    meta = downsample_human_template(hv, hf, num_points=H)
-    save_human_downsample(meta, H, constants)
+    hv = hv[:h]
+    hf = hf[(hf < h).all(axis=1)]
+    meta = downsample_human_template(hv, hf, num_points=h)
+    save_human_downsample(meta, h, constants)
 
-    # object asset + downsample pickle at O=180
+    # object asset + downsample pickle at o points
     rng = np.random.default_rng(0)
-    ov, of = _uv_sphere(15, 14)
+    obj_lat = max(4, int(math.ceil(math.sqrt(o))) + 1)
+    ov, of = _uv_sphere(obj_lat, max(4, int(math.ceil(o / obj_lat)) + 1))
     obj_dir = os.path.join(d, "asset_src")
     os.makedirs(obj_dir, exist_ok=True)
     obj_pth = os.path.join(obj_dir, f"{asset}.obj")
@@ -462,7 +469,7 @@ def bench_extract_production(num_samples: int = 64, workdir: str = None):
     cli_downsample_objects.main([
         "--obj_pth", obj_pth,
         "--supercategory", sc, "--category", cat, "--asset_id", asset,
-        "--number_of_points", str(O),
+        "--number_of_points", str(o),
         "--save_dir", os.path.join(root, "coma", "asset_downsample"),
     ])
 
@@ -489,11 +496,11 @@ def bench_extract_production(num_samples: int = 64, workdir: str = None):
 
     hyper = dict(
         human_res="FULL", human_use_downsample_pcd_raw=False,
-        object_res=str(O), object_use_downsample_pcd_raw=True,
+        object_res=str(o), object_use_downsample_pcd_raw=True,
         principle_vec=[0, 0, 1], sub_principle_vec=[0, 1, 0],
         rel_dist_method="dist", spatial_grid_size=GRID_SIZE,
         spatial_grid_thres=0.5, normal_gaussian_sigma=SIGMA,
-        normal_res=N, spatial_res=0, eps=EPS,
+        normal_res=n, spatial_res=0, eps=EPS,
         significant_contact_ratio=0.1, enable_postfilter=False,
         standardize_human_scale=False, scaler_range=(0.75, 1.25),
         visualize_type="aggr-human-contact", vis_example_num=0,
@@ -504,7 +511,8 @@ def bench_extract_production(num_samples: int = 64, workdir: str = None):
     try:
         t0 = time.perf_counter()
         saved = run_affordance_extraction(
-            hyper, "qual:bench", supercategories=[sc], categories=[cat],
+            hyper, "qual:bench",
+            supercategories=[sc.lower()], categories=[cat.lower()],
             results_root=root, constants_mesh_dir=constants, verbose=False,
         )
         total_s = time.perf_counter() - t0

@@ -4,12 +4,14 @@ suites skip)."""
 import numpy as np
 
 import jax.numpy as jnp
+import pytest
 
 
 def _seed_all(s=0):
     return np.random.default_rng(s)
 
 
+@pytest.mark.slow  # ~9 s; the single-level oracle checks stay fast
 def test_multilevel_roi_align_matches_dense_oracle():
     """The flat single-level-gather pooler must match the pool-at-every-level
     one-hot contraction (its L×-work oracle) across boxes whose areas span

@@ -46,6 +46,7 @@ def test_checkpoint_loads_into_model(model_and_params):
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+@pytest.mark.slow  # the cross-domain smoke gate below is the fast-lane representative
 def test_held_out_iou_gate_smoke(model_and_params):
     """Fast-lane gate: first 8 images of the held-out stream (deterministic
     seed). The full 2x16 eval is the slow-lane ``test_held_out_iou_gate``."""
@@ -141,6 +142,7 @@ def test_cross_domain_holdout_iou_gate(model_and_params):
     assert miou >= 0.60, f"cross-domain holdout mIoU {miou:.3f} below gate"
 
 
+@pytest.mark.slow
 def test_generalizes_across_resolution(model_and_params):
     """The pipeline applies the segmenter at other resolutions (512² in the
     adaptive-mask loop) through the scale-canonical wrapper — which must

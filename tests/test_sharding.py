@@ -29,7 +29,11 @@ def test_mesh_has_8_devices():
     assert default_mesh().shape["data"] == 8
 
 
-@pytest.mark.parametrize("B", [8, 13, 16])  # 13: ragged, exercises padding
+@pytest.mark.parametrize("B", [
+    8,
+    pytest.param(13, marks=pytest.mark.slow),  # ragged, exercises padding
+    pytest.param(16, marks=pytest.mark.slow),
+])  # B=8 is the fast-lane representative
 def test_sharded_contact_matches_sequential(rng, B):
     hv, hn, ov, on = make_batch(rng, B)
     state0 = init_coma_state(H, O, N, 0.07, 0.24)

@@ -301,6 +301,7 @@ def test_ambient_occlusion_contact_darkening():
     assert (base - ao).min() >= -1e-5
 
 
+@pytest.mark.slow  # ~8 s; test_shadow_pass_directional is the fast-lane representative
 def test_area_light_soft_shadow_penumbra():
     """Cone-sampled light directions produce an area-light penumbra: more
     intermediate-intensity ground pixels than the hard directional light,

@@ -274,6 +274,7 @@ def test_infer_sd_configs(tmp_path):
     assert ccfg0.hidden_act == "quick_gelu"
 
 
+@pytest.mark.slow  # ~11 s; the tiny smoke weights tests above stay fast
 def test_cli_build_pipeline_uses_checkpoint_configs(tmp_path, monkeypatch):
     """Regression: ``inpaint.build_pipeline`` must rebuild the UNet/CLIP
     modules around the CHECKPOINT's inferred configs, not the hardcoded
