@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--no_tonemap", action="store_true",
         help="linear clip instead of the ACES filmic curve")
+    parser.add_argument(
+        "--gi_samples", type=int, default=0,
+        help="one-bounce indirect-light taps per pixel via a reflective "
+             "shadow map (color bleeding / bounce fill, the single-bounce "
+             "slice of Cycles GI); 0 disables")
     return parser
 
 
@@ -142,7 +147,8 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
                 light_samples=args.soft_shadow_samples,
                 light_cone_deg=args.light_cone_deg,
                 specular=args.specular, roughness=args.roughness,
-                sky_env=not args.flat_ambient, tonemap=not args.no_tonemap)
+                sky_env=not args.flat_ambient, tonemap=not args.no_tonemap,
+                gi_samples=args.gi_samples)
             Image.fromarray(seg).save(seg_pth)
             Image.fromarray(rgb).save(f"{dirs['render']}/{view_id}.png")
 

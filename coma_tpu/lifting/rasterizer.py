@@ -243,19 +243,15 @@ def rasterize_attributes(
     return zbuf, uv_img, mat_img, n_img, aux_img
 
 
-def _directional_visibility(
-    casters: jax.Array,   # (C, 3, 3) world-space occluder triangles
-    pos_img: jax.Array,   # (H, W, 3) world position per pixel
-    d: jax.Array,         # (3,) unit direction from surface toward the light
-    res: int,
-    bias_px: float,
-    pcf: int,
-    chunk: int,
-) -> jax.Array:
-    """Fraction of ``pcf``² shadow-map taps along ``d`` that are unoccluded,
-    per pixel. One depth-only raster pass in an orthographic light frame;
-    shared by the directional-light shadow and the ambient-occlusion
-    hemisphere samples."""
+def _light_frame(casters: jax.Array, d: jax.Array, res: int):
+    """Orthographic light frame fitted to the caster footprint.
+
+    Returns ``(basis, to_shadow_px)`` where ``basis`` maps world -> light
+    coords (third column looks along ``-d``, so SMALLER raster depth =
+    nearer the light) and ``to_shadow_px`` maps light coords to shadow-map
+    pixel coords with depth in the same pixel scale. Shared by the shadow /
+    AO passes and the reflective-shadow-map GI pass so their projections
+    stay bit-identical."""
     up = jnp.where(jnp.abs(d[2]) < 0.9,
                    jnp.asarray([0.0, 0.0, 1.0], d.dtype),
                    jnp.asarray([0.0, 1.0, 0.0], d.dtype))
@@ -273,6 +269,25 @@ def _directional_visibility(
         xy = (p[..., :2] - lo) * px_per_world + 1.0
         z = p[..., 2] * px_per_world  # depth in the same pixel scale
         return jnp.concatenate([xy, z[..., None]], axis=-1)
+
+    return basis, to_shadow_px, px_per_world
+
+
+def _directional_visibility(
+    casters: jax.Array,   # (C, 3, 3) world-space occluder triangles
+    pos_img: jax.Array,   # (H, W, 3) world position per pixel
+    d: jax.Array,         # (3,) unit direction from surface toward the light
+    res: int,
+    bias_px: float,
+    pcf: int,
+    chunk: int,
+) -> jax.Array:
+    """Fraction of ``pcf``² shadow-map taps along ``d`` that are unoccluded,
+    per pixel. One depth-only raster pass in an orthographic light frame;
+    shared by the directional-light shadow and the ambient-occlusion
+    hemisphere samples."""
+    basis, to_shadow_px, _ = _light_frame(casters, d, res)
+    lverts = casters.reshape(-1, 3) @ basis
 
     shadow_z = rasterize_depth(
         to_shadow_px(lverts).reshape(-1, 3, 3), res, res,
@@ -355,6 +370,100 @@ def sample_env(env_map: jax.Array, dirs: jax.Array) -> jax.Array:
     )
 
 
+def _sample_texture(
+    textures: jax.Array,  # (M, S, S, 3)
+    uv_img: jax.Array,    # (..., 2)
+    mat_img: jax.Array,   # (...) int32
+) -> jax.Array:
+    """Bilinear texture fetch with wrap (OBJ convention: v runs bottom-up).
+    Shared by the camera pass and the reflective-shadow-map GI pass."""
+    M, S, _, _ = textures.shape
+    uu = jnp.mod(uv_img[..., 0], 1.0) * (S - 1)
+    vv = (1.0 - jnp.mod(uv_img[..., 1], 1.0)) * (S - 1)
+    x0 = jnp.floor(uu).astype(jnp.int32)
+    y0 = jnp.floor(vv).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, S - 1)
+    y1 = jnp.minimum(y0 + 1, S - 1)
+    wx = (uu - x0)[..., None]
+    wy = (vv - y0)[..., None]
+    m = mat_img
+    return (
+        textures[m, y0, x0] * (1 - wy) * (1 - wx)
+        + textures[m, y0, x1] * (1 - wy) * wx
+        + textures[m, y1, x0] * wy * (1 - wx)
+        + textures[m, y1, x1] * wy * wx
+    )
+
+
+def _rsm_indirect(
+    casters: jax.Array,   # (C, 3, 3) world triangles (the GI scene)
+    tri_uv: jax.Array,
+    tri_mat: jax.Array,
+    tri_n: jax.Array,
+    textures: jax.Array,
+    tri_w: jax.Array,     # (T, 3, 3) world triangles matching tri_uv order
+    pos_img: jax.Array,   # (H, W, 3) camera-pixel world positions
+    n_img: jax.Array,     # (H, W, 3) camera-pixel normals
+    light: jax.Array,     # (3,) unit, surface -> light
+    res: int,
+    samples: int,
+    radius_frac: float,
+    chunk: int,
+) -> jax.Array:
+    """One-bounce indirect irradiance via a reflective shadow map
+    (Dachsbacher & Stamminger 2005): rasterize position/normal/flux from the
+    light's view once, then gather ``samples`` Fibonacci-disk taps around
+    each camera pixel's light-space projection. This is the single-bounce
+    GI term of Cycles' path tracer (``utils/blenderproc.py:100-113``,
+    ``:161-180`` — the color bleeding and bounce fill AO/shadows cannot
+    express), raster-native and fully jit-compatible. Second-bounce
+    occlusion is ignored, as in the original RSM.
+
+    Returns (H, W, 3) indirect irradiance (multiply by surface albedo)."""
+    basis, to_shadow_px, ppw = _light_frame(casters, light, res)
+    tri_px_l = to_shadow_px(tri_w @ basis)  # (T, 3, 3) light-frame raster
+    zbuf_l, uv_l, mat_l, n_l, pos_l = rasterize_attributes(
+        tri_px_l, tri_uv, tri_mat, tri_n, res, res,
+        chunk=chunk, flip_y=False, tri_aux=tri_w,
+    )
+    hit_l = jnp.isfinite(zbuf_l)
+    albedo_l = _sample_texture(textures, uv_l, mat_l)
+    # RSM pixels are the nearest surface toward the light = lit by
+    # construction; two-sided Lambert matches the direct term
+    flux_l = albedo_l * jnp.abs(n_l @ light)[..., None]
+    flux_l = jnp.where(hit_l[..., None], flux_l, 0.0)
+
+    sp = to_shadow_px(pos_img @ basis)  # (H, W, 3)
+    R_px = radius_frac * res
+    i = jnp.arange(samples, dtype=pos_img.dtype) + 0.5
+    rr = jnp.sqrt(i / samples) * R_px
+    th = jnp.pi * (1.0 + jnp.sqrt(5.0)) * i
+    offs = jnp.stack([rr * jnp.cos(th), rr * jnp.sin(th)], axis=-1)  # (S, 2)
+
+    d0sq = (2.0 / ppw) ** 2  # clamp: ~2 shadow-map texels of world distance
+
+    def one_tap(off):
+        ix = jnp.clip(jnp.round(sp[..., 0] + off[0]).astype(jnp.int32), 0, res - 1)
+        iy = jnp.clip(jnp.round(sp[..., 1] + off[1]).astype(jnp.int32), 0, res - 1)
+        xs = pos_l[iy, ix]              # (H, W, 3) sender position
+        ns = n_l[iy, ix]
+        fx = flux_l[iy, ix]
+        ok = hit_l[iy, ix]
+        vec = xs - pos_img
+        dist2 = jnp.sum(vec * vec, axis=-1)
+        inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+        dirn = vec * inv[..., None]
+        g = (jnp.abs(jnp.sum(n_img * dirn, axis=-1))
+             * jnp.abs(jnp.sum(ns * dirn, axis=-1))
+             / (dist2 + d0sq))
+        return fx * jnp.where(ok, g, 0.0)[..., None]
+
+    gathered = jax.lax.map(one_tap, offs).sum(axis=0)  # (H, W, 3)
+    # each tap represents disk-area/S of RSM footprint, in world units
+    area = jnp.pi * (R_px / ppw) ** 2 / samples / jnp.pi  # πs cancel (B/π radiance)
+    return gathered * area
+
+
 def filmic_tonemap(rgb: jax.Array) -> jax.Array:
     """ACES filmic approximation (Narkowicz 2015) — the soft-shoulder
     highlight rolloff Cycles' "Filmic" view transform applies; linear clip
@@ -366,7 +475,8 @@ def filmic_tonemap(rgb: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("height", "width", "chunk", "flip_y",
                                    "shadow_res", "pcf", "ao_samples",
                                    "ao_res", "light_samples",
-                                   "light_cone_deg", "specular", "tonemap"))
+                                   "light_cone_deg", "specular", "tonemap",
+                                   "gi_samples", "gi_res"))
 def render_textured(
     tri_px: jax.Array,    # (T, 3, 3)
     tri_uv: jax.Array,    # (T, 3, 2)
@@ -398,6 +508,10 @@ def render_textured(
     env_map: jax.Array = None,  # lat-long (He, We, 3) ambient environment
                                 # (see make_sky_env); None = flat white
     tonemap: bool = False,     # ACES filmic curve instead of linear clip
+    gi_samples: int = 0,       # RSM one-bounce taps per pixel (0 = off)
+    gi_res: int = 128,         # reflective-shadow-map resolution
+    gi_radius_frac: float = 0.35,  # gather radius as a fraction of gi_res
+    gi_strength: float = 1.0,  # indirect scale (1 = physical-ish)
 ):
     """Textured Lambertian render -> (H, W, 3) float32 in [0, 1] + coverage.
 
@@ -427,23 +541,7 @@ def render_textured(
             tri_aux=tri_w,
         )
     covered = jnp.isfinite(zbuf)
-    M, S, _, _ = textures.shape
-    # wrap UVs; OBJ v runs bottom-up
-    uu = jnp.mod(uv_img[..., 0], 1.0) * (S - 1)
-    vv = (1.0 - jnp.mod(uv_img[..., 1], 1.0)) * (S - 1)
-    x0 = jnp.floor(uu).astype(jnp.int32)
-    y0 = jnp.floor(vv).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, S - 1)
-    y1 = jnp.minimum(y0 + 1, S - 1)
-    wx = (uu - x0)[..., None]
-    wy = (vv - y0)[..., None]
-    m = mat_img
-    tex = (
-        textures[m, y0, x0] * (1 - wy) * (1 - wx)
-        + textures[m, y0, x1] * (1 - wy) * wx
-        + textures[m, y1, x0] * wy * (1 - wx)
-        + textures[m, y1, x1] * wy * wx
-    )
+    tex = _sample_texture(textures, uv_img, mat_img)
     light = jnp.asarray(light_dir, tri_px.dtype)
     light = light / jnp.linalg.norm(light)
     lambert = jnp.abs(n_img @ light)  # two-sided
@@ -501,7 +599,17 @@ def render_textured(
     else:
         env = sample_env(env_map, n_img)  # (H, W, 3)
     amb = ambient * env * (ao if isinstance(ao, float) else ao[..., None])
-    diffuse = tex * (amb + ((1.0 - ambient) * lambert * lit)[..., None])
+    direct = ((1.0 - ambient) * lambert * lit)[..., None]
+    if gi_samples > 0 and tri_w is not None:
+        # one-bounce indirect irradiance (reflective shadow map); scaled by
+        # (1 - ambient) like the direct term it bounces from
+        casters = tri_w if shadow_casters is None else shadow_casters
+        indirect = _rsm_indirect(
+            casters, tri_uv, tri_mat, tri_n, textures, tri_w,
+            pos_img, n_img, light, gi_res, gi_samples, gi_radius_frac, chunk,
+        )
+        direct = direct + gi_strength * (1.0 - ambient) * indirect
+    diffuse = tex * (amb + direct)
 
     if specular > 0.0:
         # Cook-Torrance-lite: GGX NDF x Schlick Fresnel against the primary

@@ -260,6 +260,7 @@ def render_object_views_textured(
     roughness: float = 0.35,
     sky_env: bool = False,
     tonemap: bool = False,
+    gi_samples: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Object segmap + textured Lambertian RGB over a ground plane.
 
@@ -272,8 +273,10 @@ def render_object_views_textured(
     extra depth passes); ``specular > 0`` adds a GGX lobe against the view
     direction (Cycles Principled BSDF default specular); ``sky_env`` swaps
     the flat ambient for a sky/ground environment term; ``tonemap`` applies
-    the ACES filmic curve (Cycles' Filmic view transform). Returns
-    (seg uint8, rgb uint8)."""
+    the ACES filmic curve (Cycles' Filmic view transform); ``gi_samples >
+    0`` adds one-bounce indirect light via a reflective shadow map (color
+    bleeding / bounce fill — the single-bounce slice of Cycles' GI).
+    Returns (seg uint8, rgb uint8)."""
     from coma_tpu.lifting.rasterizer import render_textured
 
     verts_j = jnp.asarray(verts, jnp.float32)
@@ -344,6 +347,7 @@ def render_object_views_textured(
         jnp.asarray(tri_n), jnp.asarray(textures), H, W,
         ao_samples=ao_samples, light_samples=light_samples,
         light_cone_deg=light_cone_deg, tonemap=tonemap,
+        gi_samples=gi_samples if shadows else 0,
         **shadow_kw, **photoreal_kw,
     )
     return seg, (np.asarray(rgb) * 255).astype(np.uint8)

@@ -537,3 +537,103 @@ def test_render_object_views_textured_contact_shadow(textured_quad):
     # shadows only darken; some ground pixels darken a lot
     assert float(ground_s.min()) < float(ground_n.min()) - 30
     assert float((ground_n.astype(np.int32) - ground_s).min()) >= 0
+
+
+# ----------------------------------------------- one-bounce GI (RSM, r5)
+
+
+def _floor_wall_scene():
+    """White floor on z=0, red wall standing at y=0 — the classic color-
+    bleeding fixture. Camera is orthographic top-down (depth = -z)."""
+    import jax.numpy as jnp
+
+    W = 8.0
+    floor = np.asarray([
+        [[0, 0, 0], [W, 0, 0], [W, W, 0]],
+        [[0, 0, 0], [W, W, 0], [0, W, 0]],
+    ], np.float32)
+    wall = np.asarray([
+        [[0, 0.01, 0], [W, 0.01, 0], [W, 0.01, 2.5]],
+        [[0, 0.01, 0], [W, 0.01, 2.5], [0, 0.01, 2.5]],
+    ], np.float32)
+    tri_w = np.concatenate([floor, wall])                    # (4, 3, 3)
+    n = np.asarray([[0, 0, 1], [0, 0, 1], [0, 1, 0], [0, 1, 0]], np.float32)
+    mat = np.asarray([1, 1, 2, 2], np.int32)                 # floor=white, wall=red
+    textures = np.stack([
+        np.full((4, 4, 3), 0.5, np.float32),                 # 0: default
+        np.ones((4, 4, 3), np.float32),                      # 1: white
+        np.tile(np.asarray([1.0, 0.05, 0.05], np.float32), (4, 4, 1)),  # 2: red
+    ])
+    uv = np.zeros((4, 3, 2), np.float32)
+    res = 32
+    scale = res / W
+    tri_px = np.stack([
+        tri_w[..., 0] * scale, tri_w[..., 1] * scale, -tri_w[..., 2]
+    ], axis=-1).astype(np.float32)
+    return (jnp.asarray(tri_px), jnp.asarray(uv), jnp.asarray(mat),
+            jnp.asarray(n), jnp.asarray(textures), jnp.asarray(tri_w), res)
+
+
+def test_rsm_gi_color_bleeding():
+    """Floor pixels near the lit red wall must gain RED indirect light
+    (VERDICT r4 item 8: the single-bounce term AO/shadows cannot express);
+    far pixels gain much less; gi_samples=0 reproduces the old image."""
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    tri_px, uv, mat, n, tex, tri_w, res = _floor_wall_scene()
+    kw = dict(height=res, width=res, flip_y=False, tri_w=tri_w,
+              light_dir=(0.0, 0.6, 0.8), ambient=0.2, chunk=4)
+    base, cov = render_textured(tri_px, uv, mat, n, tex, **kw)
+    gi, _ = render_textured(tri_px, uv, mat, n, tex, gi_samples=24, **kw)
+    base, gi, cov = np.asarray(base), np.asarray(gi), np.asarray(cov)
+
+    delta = gi - base
+    assert (delta >= -1e-5).all(), "indirect light must be additive"
+    # near-wall floor rows (small y = small pixel row): red bleed
+    near = delta[2:6, 8:24]
+    far = delta[26:30, 8:24]
+    assert near[..., 0].mean() > 0.01, "no indirect near the red wall"
+    assert near[..., 0].mean() > 3 * near[..., 1].mean(), "bleed is not red"
+    assert near[..., 0].mean() > 3 * max(far[..., 0].mean(), 1e-6), (
+        "indirect does not fall off with distance")
+
+
+def test_rsm_gi_strength_scales_linearly():
+    from coma_tpu.lifting.rasterizer import render_textured
+
+    tri_px, uv, mat, n, tex, tri_w, res = _floor_wall_scene()
+    kw = dict(height=res, width=res, flip_y=False, tri_w=tri_w,
+              light_dir=(0.0, 0.6, 0.8), ambient=0.2, chunk=4)
+    base, _ = render_textured(tri_px, uv, mat, n, tex, **kw)
+    g1, _ = render_textured(tri_px, uv, mat, n, tex, gi_samples=16,
+                            gi_strength=1.0, **kw)
+    g2, _ = render_textured(tri_px, uv, mat, n, tex, gi_samples=16,
+                            gi_strength=2.0, **kw)
+    d1 = np.asarray(g1) - np.asarray(base)
+    d2 = np.asarray(g2) - np.asarray(base)
+    # linear in gi_strength wherever the sum is not clipped at 1
+    unclipped = np.asarray(g2) < 0.999
+    np.testing.assert_allclose(d2[unclipped], 2.0 * d1[unclipped],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_render_object_views_textured_gi(textured_quad):
+    """Pipeline-level smoke: --gi_samples flows through to the renderer and
+    changes covered pixels only additively."""
+    from coma_tpu.pipelines.rendering import (
+        build_camera_ring,
+        render_object_views_textured,
+    )
+
+    m = load_obj_textured(textured_quad)
+    verts = m.vertices - [0, 0, m.vertices[:, 2].min() - 0.5]
+    cams = build_camera_ring(
+        length_z=1.0, ortho_scale_world=6.0, view_num=1,
+        elevation_deg=30.0, resolution=(48, 48),
+    )
+    seg0, rgb0 = render_object_views_textured(cams[0], verts, m)
+    seg1, rgb1 = render_object_views_textured(cams[0], verts, m, gi_samples=6)
+    assert (seg0 == seg1).all()
+    assert rgb1.shape == rgb0.shape
+    # indirect adds light: mean cannot drop (uint8 rounding tolerance)
+    assert rgb1.astype(int).mean() >= rgb0.astype(int).mean() - 1
