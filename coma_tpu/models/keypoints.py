@@ -51,3 +51,30 @@ def gmof(residual: jax.Array, rho: float = 1.0) -> jax.Array:
     """Geman-McClure robustifier (reference: ``utils/smpl.py:GMoF:59``)."""
     sq = residual * residual
     return rho * rho * sq / (sq + rho * rho)
+
+
+# The 21 mesh-vertex landmarks SMPL-X appends after its 55 kinematic joints
+# (joint indices 55-75, exactly what the OpenPose permutations above index).
+# Order and ids from the reference's vendored smplx
+# (``vertex_joint_selector.py:30-60``: face, feet, then l/r fingertips;
+# ``vertex_ids.py:47-69`` 'smplx' table).
+SMPLX_LANDMARK_VERTEX_IDS = np.array(
+    [9120, 9929, 9448, 616, 6,                  # nose, reye, leye, rear, lear
+     5770, 5780, 8846, 8463, 8474, 8635,        # L/R big toe, small toe, heel
+     5361, 4933, 5058, 5169, 5286,              # left fingertips (thumb..pinky)
+     8079, 7669, 7794, 7905, 8022],             # right fingertips
+    dtype=np.int32,
+)
+
+
+def append_vertex_landmarks(vertices: jax.Array, joints: jax.Array) -> jax.Array:
+    """(..., V, 3), (..., 55, 3) -> (..., 76, 3): append the vertex-picked
+    landmarks so ``smpl_to_openpose`` indices 55-75 resolve (the reference's
+    ``VertexJointSelector.forward``). Ids clip to V-1 so tiny synthetic test
+    meshes stay drivable (landmarks then alias real vertices, which only
+    perturbs values, never shapes)."""
+    import jax.numpy as jnp
+
+    ids = np.clip(SMPLX_LANDMARK_VERTEX_IDS, 0, vertices.shape[-2] - 1)
+    return jnp.concatenate(
+        [joints, jnp.take(vertices, jnp.asarray(ids), axis=-2)], axis=-2)

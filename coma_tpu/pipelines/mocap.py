@@ -23,6 +23,7 @@ from coma_tpu.models.hand4whole import (
     INPUT_IMG_SHAPE,
     Hand4Whole,
 )
+from coma_tpu.models.keypoints import append_vertex_landmarks
 from coma_tpu.models.smplx import SMPLXModel, smplx_forward
 
 
@@ -113,6 +114,10 @@ class Hand4WholeRegressor:
                 jaw_pose=out["jaw_pose"],
                 expression=out["expr"],
             )
+            # append the 21 vertex-picked landmarks (joint rows 55-75): the
+            # downstream OpenPose permutations (optimize_depth's 67-joint
+            # triangulation set) index into them
+            joints = append_vertex_landmarks(verts, joints)
             cam_trans = np.asarray(out["cam_trans"])[0]
             mesh_cam = np.asarray(verts)[0] + cam_trans[None]
             joints_cam = np.asarray(joints)[0] + cam_trans[None]

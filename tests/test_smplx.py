@@ -119,3 +119,33 @@ def test_star_pose_differs_from_template():
     star = star_pose_vertices(model)
     assert star.shape == (24, 3)
     assert float(jnp.abs(star - model.v_template).max()) > 1e-4
+
+
+def test_vertex_landmarks_appended_in_openpose_order():
+    """The OpenPose permutations index joints 55-75: those rows must be the
+    21 vertex-picked landmarks in the reference's VertexJointSelector order
+    (vertex_joint_selector.py:30-60 + vertex_ids.py 'smplx')."""
+    from coma_tpu.models.keypoints import (
+        SMPLX_LANDMARK_VERTEX_IDS,
+        append_vertex_landmarks,
+        smpl_to_openpose,
+    )
+
+    V = 12000  # >= all smplx landmark vertex ids, so no clipping
+    verts = jnp.asarray(np.random.default_rng(0).normal(size=(2, V, 3)),
+                        jnp.float32)
+    joints = jnp.zeros((2, 55, 3))
+    ext = append_vertex_landmarks(verts, joints)
+    assert ext.shape == (2, 76, 3)
+    # row 55 is the nose vertex, row 75 the right pinky tip
+    np.testing.assert_array_equal(np.asarray(ext[:, 55]),
+                                  np.asarray(verts[:, 9120]))
+    np.testing.assert_array_equal(np.asarray(ext[:, 75]),
+                                  np.asarray(verts[:, 8022]))
+    # every triangulation index resolves
+    tri = smpl_to_openpose(use_hands=True)
+    assert tri.max() < ext.shape[1]
+    # tiny synthetic meshes clip rather than crash
+    small = append_vertex_landmarks(verts[:, :64], joints)
+    assert small.shape == (2, 76, 3)
+    assert int(SMPLX_LANDMARK_VERTEX_IDS.max()) == 9929
