@@ -183,7 +183,18 @@ RES, LAT, BATCH, STEPS = 512, 64, 16, 50
 
 
 def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
-                    pointrend_fast: bool = False, provoke_crop_latent: int = 0):
+                    pointrend_fast: bool = False, provoke_crop_latent: int = 0,
+                    shared: dict = None):
+    """Build one flagship pipeline variant.
+
+    ``shared`` (optional dict) caches the expensive param inits ACROSS
+    variants within one process: every variant uses the identical SD
+    UNet/VAE params and both PointRend variants use identical PointRend
+    params (throughput is weight-independent, only the traced program
+    differs). Sharing cuts a suite of six variants from six param builds
+    to two. The traced programs are unaffected — same modules, shapes,
+    dtypes — so persistent-cache keys do not move.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -201,16 +212,25 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
     enc, dec = Encoder(vcfg), Decoder(vcfg)
 
     k = jax.random.PRNGKey(0)
-    params = dict(
-        unet=unet.init(
-            k,
-            jnp.zeros((1, LAT, LAT, 9), ucfg.dtype),
-            jnp.zeros((1,)),
-            jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype),
-        ),
-        vae_encoder=enc.init(k, jnp.zeros((1, RES, RES, 3))),
-        vae_decoder=dec.init(k, jnp.zeros((1, LAT, LAT, 4))),
-    )
+    if shared is not None and "sd" in shared:
+        sd_params = shared["sd"]
+    else:
+        # jit the inits: eager flax init dispatches hundreds of single ops,
+        # each paying the tunnel's ~40 ms RPC latency (measured 583 s for
+        # the SD trio in round 5); under jit it is one cached program
+        sd_params = dict(
+            unet=jax.jit(unet.init)(
+                k,
+                jnp.zeros((1, LAT, LAT, 9), ucfg.dtype),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype),
+            ),
+            vae_encoder=jax.jit(enc.init)(k, jnp.zeros((1, RES, RES, 3))),
+            vae_decoder=jax.jit(dec.init)(k, jnp.zeros((1, LAT, LAT, 4))),
+        )
+        if shared is not None:
+            shared["sd"] = sd_params
+    params = dict(sd_params)
 
     unet_fn = lambda prm, lat, t, ctx: unet.apply(
         prm["unet"], lat.astype(ucfg.dtype), t, ctx.astype(ucfg.dtype)
@@ -226,8 +246,13 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
                                  post_nms_topk=128, box_candidates=64,
                                  max_detections=8)
         pr_model = PointRendModel(pr_cfg)
-        params["pointrend"] = pr_model.init(
-            jax.random.PRNGKey(2), jnp.zeros((RES, RES, 3)))
+        if shared is not None and "pointrend" in shared:
+            params["pointrend"] = shared["pointrend"]
+        else:
+            params["pointrend"] = jax.jit(pr_model.init)(
+                jax.random.PRNGKey(2), jnp.zeros((RES, RES, 3)))
+            if shared is not None:
+                shared["pointrend"] = params["pointrend"]
         person_fn = make_pointrend_segment_fn(
             pr_model,
             compute_dtype=jnp.bfloat16 if pointrend_fast else None,
@@ -235,7 +260,13 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
         )
     else:
         seg = PersonSegmenter()
-        params["segmenter"] = seg.init(k, jnp.zeros((1, RES, RES, 3)))
+        if shared is not None and "segmenter" in shared:
+            params["segmenter"] = shared["segmenter"]
+        else:
+            params["segmenter"] = jax.jit(seg.init)(
+                k, jnp.zeros((1, RES, RES, 3)))
+            if shared is not None:
+                shared["segmenter"] = params["segmenter"]
         person_fn = lambda prm, imgs: (
             jax.nn.sigmoid(seg.apply(prm["segmenter"], imgs)) >= 0.5
         ).astype(jnp.float32)
@@ -257,7 +288,7 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
     return pipe, params, unet_fn, ucfg
 
 
-def _pipeline_rate(mask_box: int = 0, **kw) -> float:
+def _pipeline_rate(mask_box: int = 0, iters: int = 2, **kw) -> float:
     """images/sec of one full-size pipeline variant on the chip."""
     import jax
     import jax.numpy as jnp
@@ -265,7 +296,10 @@ def _pipeline_rate(mask_box: int = 0, **kw) -> float:
     # NOTE: on the tunneled backend block_until_ready() can ack before the
     # device finishes; fetching a value is the only reliable completion
     # barrier, so every timed region ends with a scalar fetch.
+    t_start = time.perf_counter()
     pipe, params, _, ucfg = _build_pipeline(**kw)
+    print(f"[pipeline_rate] build_s={time.perf_counter() - t_start:.1f}",
+          file=sys.stderr, flush=True)
     img = jnp.zeros((BATCH, RES, RES, 3))
     if mask_box:
         # a realistic person-extent default mask (crop mode anchors its
@@ -279,9 +313,13 @@ def _pipeline_rate(mask_box: int = 0, **kw) -> float:
     emb = jnp.zeros((BATCH, 77, ucfg.cross_attention_dim))
     neg = jnp.zeros_like(emb)
     gen = jax.jit(pipe.generate_p)
+    t_built = time.perf_counter()
     float(jnp.sum(gen(params, jax.random.PRNGKey(1), img, mask, emb, neg)))
+    # phase breakdown to stderr (host-side only): the first call folds
+    # trace + compile-or-cache-load + one run; the timed region follows
+    print(f"[pipeline_rate] warmup_call_s={time.perf_counter() - t_built:.1f}",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    iters = 2
     tot = jnp.zeros(())
     for i in range(iters):
         tot = tot + jnp.sum(gen(params, jax.random.PRNGKey(2 + i), img, mask, emb, neg))
@@ -289,12 +327,12 @@ def _pipeline_rate(mask_box: int = 0, **kw) -> float:
     return BATCH * iters / (time.perf_counter() - t0)
 
 
-def bench_unet_step():
+def bench_unet_step(shared: dict = None):
     """Isolated CFG UNet step (batch 2*BATCH: uncond+cond) + measured MFU."""
     import jax
     import jax.numpy as jnp
 
-    _, params, unet_fn, ucfg = _build_pipeline()
+    _, params, unet_fn, ucfg = _build_pipeline(shared=shared)
     lat_in = jnp.zeros((2 * BATCH, LAT, LAT, 9), jnp.float32)
     t_in = jnp.full((2 * BATCH,), 500.0)
     ctx = jnp.zeros((2 * BATCH, 77, ucfg.cross_attention_dim))
@@ -319,6 +357,67 @@ def bench_unet_step():
     step_s = (time.perf_counter() - t0) / n
     mfu = flops / step_s / V5E_BF16_PEAK
     return step_s, mfu
+
+
+def bench_pipe_suite(emit) -> None:
+    """Every flagship pipeline variant + the isolated UNet step, ONE process.
+
+    Measured in round 5: a standalone pipeline section spends ~770 s outside
+    its ~50 s timed region (imports, backend attach, param init, trace,
+    persistent-cache load), and five standalone sections repeat almost all
+    of it. This suite pays the process/attach cost once and the SD param
+    build once (``_build_pipeline(shared=...)``), then measures the variants
+    in headline-first order. ``emit(dict)`` runs after EVERY sub-measurement
+    — the orchestrator merges all emitted lines, so an orchestrator kill
+    mid-suite only costs the not-yet-measured tail, never the headline.
+    """
+    import jax
+
+    shared: dict = {}
+
+    def one(key, iters=1, **kw):
+        # headline gets 2 timed iterations; the others 1 (each iteration is
+        # a 16-image batch, ~24 s of chip time — observed run-to-run spread
+        # across rounds is <0.2%, and the saved minutes buy whole sections)
+        t0 = time.perf_counter()
+        rate = _pipeline_rate(shared=shared, iters=iters, **kw)
+        emit({key: round(rate, 4)})
+        print(f"[suite] {key}={rate:.4f} ({time.perf_counter() - t0:.1f}s)",
+              file=sys.stderr, flush=True)
+        # drop this variant's executables from HBM before the next one
+        # (the persistent on-disk cache is unaffected); params in `shared`
+        # are plain arrays and survive
+        jax.clear_caches()
+
+    one("hoi_2d_images_per_sec", provoke_decode_factor=1, iters=2)
+
+    t0 = time.perf_counter()
+    step_s, mfu = bench_unet_step(shared=shared)
+    emit({"unet_cfg_step_ms": round(step_s * 1e3, 2),
+          "unet_step_mfu": round(mfu, 4)})
+    print(f"[suite] unet_step ({time.perf_counter() - t0:.1f}s)",
+          file=sys.stderr, flush=True)
+    jax.clear_caches()
+
+    one("hoi_2d_images_per_sec_pointrend_loop", segmenter="pointrend")
+    one("hoi_2d_images_per_sec_pointrend_loop_fast",
+        segmenter="pointrend", pointrend_fast=True)
+    one("hoi_2d_images_per_sec_fast_mode", provoke_decode_factor=2)
+
+    from coma_tpu.models.diffusion.pipeline import choose_crop_latent
+
+    # crop mode: bucket chosen exactly as the CLI does, from a typical
+    # person-extent mask (~200 px tall -> latent bucket 40)
+    box = np.zeros((1, RES, RES), np.float32)
+    box[:, 156:356, 132:316] = 1.0
+    bucket = int(choose_crop_latent(box))
+    t0 = time.perf_counter()
+    rate = _pipeline_rate(mask_box=200, provoke_crop_latent=bucket,
+                          shared=shared, iters=1)
+    emit({"hoi_2d_images_per_sec_crop_mode": round(rate, 4),
+          "crop_mode_latent_bucket": bucket})
+    print(f"[suite] crop={rate:.4f} ({time.perf_counter() - t0:.1f}s)",
+          file=sys.stderr, flush=True)
 
 
 def bench_inpaint_torch_cpu() -> float:

@@ -203,14 +203,18 @@ def build_pipeline(args):
         params = load_sd_params(args.weights_dir)
     elif args.random_weights:
         k = jax.random.PRNGKey(0)
+        # jitted inits: eager flax init dispatches hundreds of single ops,
+        # each paying the device link's fixed latency (~10 minutes for the
+        # SD trio on the tunneled chip); under jit each is one cached program
         params = dict(
-            unet=unet.init(k, jnp.zeros((1, h, h, 9), ucfg.dtype),
-                           jnp.zeros((1,)),
-                           jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype)),
-            vae_encoder=enc.init(k, jnp.zeros((1, res, res, 3))),
-            vae_decoder=dec.init(k, jnp.zeros((1, h, h, 4))),
-            clip=clip.init(k, jnp.zeros((1, 77), jnp.int32)),
-            segmenter=seg.init(k, jnp.zeros((1, res, res, 3))),
+            unet=jax.jit(unet.init)(
+                k, jnp.zeros((1, h, h, 9), ucfg.dtype),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim), ucfg.dtype)),
+            vae_encoder=jax.jit(enc.init)(k, jnp.zeros((1, res, res, 3))),
+            vae_decoder=jax.jit(dec.init)(k, jnp.zeros((1, h, h, 4))),
+            clip=jax.jit(clip.init)(k, jnp.zeros((1, 77), jnp.int32)),
+            segmenter=jax.jit(seg.init)(k, jnp.zeros((1, res, res, 3))),
             tokenizer=None,
         )
     else:
@@ -243,7 +247,7 @@ def build_pipeline(args):
         if args.pointrend_weights and os.path.exists(args.pointrend_weights):
             params["pointrend"] = _load_np(args.pointrend_weights)
         elif args.random_weights:
-            params["pointrend"] = pr_model.init(
+            params["pointrend"] = jax.jit(pr_model.init)(
                 jax.random.PRNGKey(2), jnp.zeros((pr_cfg.test_size,) * 2 + (3,))
             )
         else:
@@ -296,7 +300,7 @@ def build_pipeline(args):
                 torch.load(args.sam_weights, map_location="cpu"), depth=scfg.depth
             )
         elif args.random_weights:
-            sam_vars = sam.init(
+            sam_vars = jax.jit(sam.init)(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, scfg.img_size, scfg.img_size, 3)),
                 jnp.zeros((1, 4)),

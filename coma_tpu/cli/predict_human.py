@@ -60,13 +60,18 @@ def load_regressor(args):
         with open(store, "rb") as fh:
             params = pickle.load(fh)
     else:
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 512, 384, 3)))
+        # jitted: eager init pays per-op latency on the tunneled device
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 512, 384, 3)))
         if args.regressor_params:
             print("[predict_human] WARNING: regressor params missing; random init")
     if args.smplx_model_path and os.path.exists(args.smplx_model_path):
         smplx_model = SMPLXModel.from_npz(args.smplx_model_path)
     else:
-        smplx_model = random_model(num_verts=128, num_betas=10, num_expr=10)
+        # SMPL-X vertex count: downstream downsample indices and the star
+        # template assume the real topology's size, so the synthetic
+        # fallback must match it or extraction would index out of bounds
+        smplx_model = random_model(num_verts=10475, num_betas=10, num_expr=10)
         print("[predict_human] WARNING: SMPL-X weights missing; synthetic body model")
     return Hand4WholeRegressor(params, smplx_model)
 

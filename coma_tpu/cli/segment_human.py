@@ -72,7 +72,9 @@ def load_segmenter(params_path=None):
             with open(params_path, "rb") as fh:
                 params = pickle.load(fh)
     else:
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        # jitted: eager init pays per-op latency on the tunneled device
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         if params_path:
             print(f"[segment_human] WARNING: {params_path} missing; random init")
     return model, params
