@@ -12,7 +12,12 @@ import os
 
 import numpy as np
 
-from coma_tpu.cli._common import add_common_flags, lower_all, seed_everything
+from coma_tpu.cli._common import (
+    add_common_flags,
+    enable_compilation_cache,
+    lower_all,
+    seed_everything,
+)
 from coma_tpu.config.assets import (
     CATEGORY2ASSET,
     CATEGORY2CAMERA_CONFIG,
@@ -181,6 +186,9 @@ def render_asset(args, supercategory, category, asset_id, obj_pth) -> int:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
+    # the 512 px rasterizer programs take minutes to compile cold; every
+    # other stage CLI already persists compilations (cli/_common.py)
+    enable_compilation_cache()
 
     jobs = []
     if args.obj_pth:

@@ -186,9 +186,15 @@ def run_affordance_extraction(
     occupancy = visualize_type == "occupancy"
     quant_mode = hyperparams.get("quant_mode", False)
 
-    human_downsample = load_pickle(
-        smplx_downsample_path(hyperparams["human_res"], constants_mesh_dir)
-    )
+    human_pth = smplx_downsample_path(hyperparams["human_res"], constants_mesh_dir)
+    if not os.path.exists(human_pth):
+        # downsample_human collapses any level >= the template's vertex count
+        # to the single FULL pickle (cli/downsample_human.py) — follow it, so
+        # tiny smoke templates stay drivable end-to-end
+        full_pth = smplx_downsample_path("FULL", constants_mesh_dir)
+        if os.path.exists(full_pth):
+            human_pth = full_pth
+    human_downsample = load_pickle(human_pth)
     H = (
         human_downsample["N_raw"]
         if hyperparams["human_use_downsample_pcd_raw"]
