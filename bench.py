@@ -31,7 +31,7 @@ itself:
   the compile cache survives harness edits by construction;
 - sections run cheapest/headline-first; the mini-category e2e runs LAST and
   only if budget remains;
-- a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1440 s)
+- a global wall-clock budget (env ``COMA_BENCH_BUDGET_S``, default 1560 s)
   gates every section start: a section that cannot fit in the remaining
   budget is skipped and recorded as ``skipped (budget)``;
 - the final JSON line is printed exactly once, also on SIGTERM/SIGINT/
@@ -46,7 +46,7 @@ import subprocess
 import sys
 import time
 
-DEFAULT_BUDGET_S = 1440.0
+DEFAULT_BUDGET_S = 1560.0
 
 
 # ----------------------------------------------------------- sections
@@ -93,6 +93,24 @@ def section_pipe_fast() -> dict:
 
     return {"hoi_2d_images_per_sec_fast_mode": _round(
         bk._pipeline_rate(provoke_decode_factor=2), 4)}
+
+
+def section_pipe_suite() -> dict:
+    """Every flagship pipeline variant + the isolated UNet step in ONE
+    subprocess (headline first): shares the backend attach, the imports and
+    the SD param build, and prints one ``@@BENCH@@`` line per sub-result so
+    a budget kill only costs the unmeasured tail (VERDICT r5 restructure —
+    five standalone sections each paid ~770 s of non-timed overhead)."""
+    from coma_tpu import benchkit as bk
+
+    acc: dict = {}
+
+    def emit(d):
+        acc.update(d)
+        print(SECTION_MARK + json.dumps(d), flush=True)
+
+    bk.bench_pipe_suite(emit)
+    return acc
 
 
 def section_pipe_pointrend_both() -> dict:
@@ -170,14 +188,20 @@ def section_extract_production() -> dict:
 
 def section_e2e() -> dict:
     """Measured mini-category end-to-end (real stage CLIs as subprocesses,
-    host overheads included); time-boxed by the orchestrator."""
+    host overheads included); time-boxed by the orchestrator. Emits a
+    progressive partial after every stage so a budget kill still captures
+    the measured prefix."""
     from bench_e2e import run_mini_category
 
     return {"mini_category_stage_seconds": run_mini_category(
-        seeds=4, log=lambda *a: None)}
+        seeds=4, log=lambda *a: None,
+        on_stage=lambda t: print(
+            SECTION_MARK + json.dumps({"mini_category_stage_seconds": t}),
+            flush=True))}
 
 
 SECTION_FNS = {
+    "pipe_suite": section_pipe_suite,
     "coma": section_coma,
     "unet_step": section_unet_step,
     "pipe_exact": section_pipe_exact,
@@ -198,20 +222,19 @@ SECTION_FNS = {
 # use the WHOLE remaining budget — a fixed small cap proved actively
 # harmful: killing a cold XLA compile mid-flight also forfeits the
 # persistent-cache write, so the next attempt is cold again. The HEADLINE
-# section (pipe_exact — it alone determines `value`) runs first so a slow
-# round can only cost secondary numbers, never the headline. min_needed is
-# calibrated from warm-cache wall-clocks measured in round 5 (each section's
-# observed warm time + tunnel-attach variance); the compile cache makes warm
-# the expected case since benchkit.py froze the traced code.
+# measurement leads pipe_suite (which emits incrementally, headline first),
+# so a slow round can only cost secondary numbers, never the headline.
+# min_needed is calibrated from warm-cache wall-clocks measured in round 5
+# (each section's observed warm time + tunnel-attach variance); the compile
+# cache makes warm the expected case since benchkit.py froze the traced code.
 SECTION_PLAN = [
-    ("pipe_exact",          True,  240),
-    ("coma",                True,  300),
-    ("pipe_modes",          True,  300),
-    ("unet_step",           True,  150),
-    ("pipe_pointrend_both", True,  300),
-    ("extract_production",  True,  240),
+    ("pipe_suite",          True,  300),
+    ("coma",                True,  120),
+    ("extract_production",  True,  180),
     ("dp_scaling",          False, 150),
-    ("e2e",                 True,  420),
+    # e2e emits one partial line per completed stage, so it usefully runs
+    # on whatever scraps remain — a deadline kill keeps the measured prefix
+    ("e2e",                 True,  90),
 ]
 
 # torch_baselines never touches the chip, costs ~8 CPU-minutes, and its
@@ -262,6 +285,19 @@ def _device_reachable(timeout_s: int = 170, attempts: int = 2) -> bool:
     return False
 
 
+def _parse_marks(out: str) -> dict:
+    """Merge every ``@@BENCH@@`` line a section printed (sections emit one
+    line per sub-measurement so a kill can only cost the unmeasured tail)."""
+    merged: dict = {}
+    for line in (out or "").splitlines():
+        if line.startswith(SECTION_MARK):
+            try:
+                merged.update(json.loads(line[len(SECTION_MARK):]))
+            except json.JSONDecodeError:
+                pass
+    return merged
+
+
 def _run_section(name: str, timeout_s: float):
     """Run one section subprocess; returns (result_dict_or_None, status)."""
     global _current_child
@@ -276,21 +312,24 @@ def _run_section(name: str, timeout_s: float):
             out, err = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
             proc.kill()
-            proc.communicate()
+            out, _ = proc.communicate()
+            partial = _parse_marks(out)
+            if partial:
+                return partial, f"timeout (partial: {len(partial)} keys)"
             return None, "timeout"
         finally:
             _current_child = None
     except Exception as exc:
         return None, f"spawn failed: {type(exc).__name__}"
+    merged = _parse_marks(out)
     if proc.returncode != 0:
         tail = (err or "").strip().splitlines()[-3:]
-        return None, "failed: " + " | ".join(tail)[:240]
-    for line in reversed((out or "").splitlines()):
-        if line.startswith(SECTION_MARK):
-            try:
-                return json.loads(line[len(SECTION_MARK):]), "ok"
-            except json.JSONDecodeError:
-                return None, "bad section output"
+        status = "failed: " + " | ".join(tail)[:240]
+        if merged:
+            return merged, f"{status} (partial: {len(merged)} keys)"
+        return None, status
+    if merged:
+        return merged, "ok"
     return None, "no section output"
 
 
@@ -352,6 +391,10 @@ def main():
             if child is not None:
                 try:
                     child.kill()
+                    # sections emit one @@BENCH@@ line per sub-measurement;
+                    # salvage what the in-flight section already measured
+                    out, _ = child.communicate(timeout=5)
+                    extras.update(_parse_marks(out))
                 except Exception:
                     pass
         _emit(extras, sections)
@@ -429,8 +472,10 @@ def main():
             crashy = ("crashed" in status or "RESOURCE_EXHAUSTED" in status
                       or "UNAVAILABLE" in status)
             time.sleep(60.0 if crashy else SETTLE_S)
-            result, status2 = _run_section(
+            retry_result, status2 = _run_section(
                 name, deadline - time.perf_counter())
+            if retry_result:
+                result = {**(result or {}), **retry_result}
             status = f"{status2} (retried: {status[:120]})"
         sections[name] = {"status": status,
                           "seconds": round(time.perf_counter() - t0, 1)}

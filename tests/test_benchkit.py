@@ -21,8 +21,22 @@ def test_extract_production_path_runs_tiny(tmp_path):
 
 def test_section_plan_names_resolve():
     assert set(n for n, _, _ in bench.SECTION_PLAN) <= set(bench.SECTION_FNS)
-    # the headline section must run first: it alone determines `value`
-    assert bench.SECTION_PLAN[0][0] == "pipe_exact"
+    # the headline measurement must run first: it alone determines `value`
+    # (pipe_suite emits the exact-mode headline before everything else)
+    assert bench.SECTION_PLAN[0][0] == "pipe_suite"
+
+
+def test_parse_marks_merges_incremental_lines():
+    """Sections emit one @@BENCH@@ line per sub-measurement; the orchestrator
+    must merge them all (a budget kill keeps the already-measured prefix)."""
+    out = "\n".join([
+        "noise",
+        bench.SECTION_MARK + '{"a": 1}',
+        bench.SECTION_MARK + 'not json',
+        bench.SECTION_MARK + '{"b": 2, "a": 3}',
+    ])
+    assert bench._parse_marks(out) == {"a": 3, "b": 2}
+    assert bench._parse_marks("") == {}
 
 
 def test_no_jit_closures_defined_in_bench_py():
