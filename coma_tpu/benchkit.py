@@ -285,6 +285,9 @@ def _build_pipeline(provoke_decode_factor: int = 1, segmenter: str = "unet",
             provoke_crop_latent=provoke_crop_latent,
         ),
     )
+    # drop the init executables from HBM before the (much larger) pipeline
+    # program loads: params are plain arrays and survive, programs go
+    jax.clear_caches()
     return pipe, params, unet_fn, ucfg
 
 
