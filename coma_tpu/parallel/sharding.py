@@ -102,24 +102,33 @@ def sharded_contact_aggregate(
     )
 
     def shard_fn(s, hv, hn, ov, on, v):
-        # Promote the accumulators (only) to "varying" so the scan carry-in
-        # matches the carry-out under shard_map's vma tracking; the constant
-        # fields (canon grid, principal vecs) stay replicated — psum-ing them
-        # would wrongly scale them by the device count.
+        # Each shard accumulates its contribution into ZEROED accumulators
+        # (the updates are pure additions), the per-shard DELTAS are psum-ed,
+        # and the incoming state is added back exactly once. Updating the
+        # replicated incoming state in place and psum-ing the result would
+        # multiply the carried-in accumulators by the device count — correct
+        # only for a fresh (all-zero) state, silently wrong when chained
+        # batch-over-batch as the streaming extraction does. The zeroed
+        # accumulators are promoted to "varying" for shard_map's vma
+        # tracking; the constant fields (canon grid, principal vecs) stay
+        # replicated.
         import dataclasses
 
-        s = dataclasses.replace(
-            s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in accum_fields}
+        s0 = dataclasses.replace(
+            s, **{f: jax.lax.pcast(jnp.zeros_like(getattr(s, f)),
+                                   (axis_name,), to="varying")
+                  for f in accum_fields}
         )
         if use_fused:
             from coma_tpu.ops.contact_kernel import fused_contact_update_batch
 
-            s = fused_contact_update_batch(s, hv, hn, ov, on, valid=v)
+            upd = fused_contact_update_batch(s0, hv, hn, ov, on, valid=v)
         else:
-            s = contact_update_batch(s, hv, hn, ov, on, valid=v)
+            upd = contact_update_batch(s0, hv, hn, ov, on, valid=v)
         return dataclasses.replace(
             s,
-            **{f: jax.lax.psum(getattr(s, f), axis_name) for f in accum_fields},
+            **{f: getattr(s, f) + jax.lax.psum(getattr(upd, f), axis_name)
+               for f in accum_fields},
         )
 
     fn = jax.shard_map(
@@ -158,28 +167,39 @@ def sharded_occupancy_aggregate(
     def shard_fn(s, hv, ov, v):
         import dataclasses
 
-        occ_fields = ("spatial_occupancy_grids", "used_count", "anchor_vert")
-        s = dataclasses.replace(
-            s, **{f: jax.lax.pcast(getattr(s, f), (axis_name,), to="varying") for f in occ_fields}
+        # Additive accumulators start ZEROED per shard and only the deltas
+        # are psum-ed (adding the incoming state back once) — psum-ing the
+        # updated replicated state would scale the carried-in accumulators
+        # by the device count when chained batch-over-batch (see
+        # sharded_contact_aggregate). anchor_vert is NOT additive: it passes
+        # through so an already-set anchor (chained call) is kept.
+        add_fields = ("spatial_occupancy_grids", "used_count")
+        s0 = dataclasses.replace(
+            s,
+            anchor_vert=jax.lax.pcast(s.anchor_vert, (axis_name,), to="varying"),
+            **{f: jax.lax.pcast(jnp.zeros_like(getattr(s, f)),
+                                (axis_name,), to="varying")
+               for f in add_fields},
         )
         if use_fused:
             from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
 
-            s = fused_occupancy_update_batch(s, hv, ov, valid=v)
+            upd = fused_occupancy_update_batch(s0, hv, ov, valid=v)
         else:
-            s = occupancy_update_batch(s, hv, ov, valid=v)
+            upd = occupancy_update_batch(s0, hv, ov, valid=v)
         # anchor_vert is identical on every shard (same object vertex, the
         # reference asserts this across samples); take any shard's copy via
         # pmax rather than psum (which would scale it by the device count).
         # Shards that saw only padding still hold the NaN init — mask those
         # to -inf so they lose the pmax (and restore NaN if all were empty).
-        anchor = jnp.where(jnp.isnan(s.anchor_vert), -jnp.inf, s.anchor_vert)
+        anchor = jnp.where(jnp.isnan(upd.anchor_vert), -jnp.inf, upd.anchor_vert)
         anchor = jax.lax.pmax(anchor, axis_name)
         anchor = jnp.where(jnp.isinf(anchor), jnp.nan, anchor)
         return dataclasses.replace(
             s,
-            spatial_occupancy_grids=jax.lax.psum(s.spatial_occupancy_grids, axis_name),
-            used_count=jax.lax.psum(s.used_count, axis_name),
+            spatial_occupancy_grids=s.spatial_occupancy_grids
+            + jax.lax.psum(upd.spatial_occupancy_grids, axis_name),
+            used_count=s.used_count + jax.lax.psum(upd.used_count, axis_name),
             anchor_vert=anchor,
         )
 

@@ -68,6 +68,45 @@ def test_sharded_occupancy_matches_sequential(rng):
     )
 
 
+def test_sharded_contact_chains_batch_over_batch(rng):
+    """Regression (round 5): psum-ing the updated REPLICATED state multiplied
+    the carried-in accumulators by the device count on every chained call —
+    the streaming extraction aggregates batch-over-batch exactly like this.
+    Correct semantics: state_in + sum of per-shard deltas."""
+    B_total, bs = 13, 4
+    hv, hn, ov, on = make_batch(rng, B_total)
+    state0 = init_coma_state(H, O, N, 0.07, 0.24)
+    state = state0
+    for k in range(0, B_total, bs):
+        state = sharded_contact_aggregate(
+            state, hv[k:k + bs], hn[k:k + bs], ov[k:k + bs], on[k:k + bs])
+    joint = contact_update_batch(state0, hv, hn, ov, on)
+    assert float(state.used_count) == B_total  # was 8x-compounded pre-fix
+    for f in ("prob_grid_canon_human_wrt_obj", "prob_grid_canon_obj_wrt_human",
+              "contact_dist_expectation_grid_nom", "significant_contact_count"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(state, f)), np.asarray(getattr(joint, f)),
+            rtol=1e-5, atol=1e-6, err_msg=f)
+
+
+@pytest.mark.slow
+def test_sharded_occupancy_chains_batch_over_batch(rng):
+    B_total, bs = 13, 4
+    hv, _, ov, _ = make_batch(rng, B_total)
+    ov = jnp.tile(ov[:1], (B_total, 1, 1))  # one object, like real data
+    occ0 = init_occupancy_state(H, O, spatial_res=8, scale_tolerance=3.0)
+    occ = occ0
+    for k in range(0, B_total, bs):
+        occ = sharded_occupancy_aggregate(occ, hv[k:k + bs], ov[k:k + bs])
+    joint = occupancy_update_batch(occ0, hv, ov)
+    assert float(occ.used_count) == B_total
+    np.testing.assert_allclose(
+        np.asarray(occ.spatial_occupancy_grids),
+        np.asarray(joint.spatial_occupancy_grids), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(occ.anchor_vert), np.asarray(joint.anchor_vert))
+
+
 def test_pad_batch_mask():
     a = jnp.ones((3, 4))
     (padded,), mask = pad_batch([a], 8)
