@@ -178,10 +178,14 @@ def section_dp_scaling() -> dict:
 
 def section_extract_production() -> dict:
     """The full production extract_coma path (load -> prep -> fused scan ->
-    export -> product) at the qual human-contact shape (VERDICT r4 item 5)."""
+    export -> product) at the qual human-contact shape (VERDICT r4 item 5).
+    The aggregation rate is emitted the moment it is measured — the state
+    export that follows is ~3.9 GB over the ~19 MB/s tunnel, so a budget
+    kill mid-export must not cost the compute metric."""
     from coma_tpu import benchkit as bk
 
-    rate, breakdown = bk.bench_extract_production()
+    rate, breakdown = bk.bench_extract_production(
+        emit=lambda d: print(SECTION_MARK + json.dumps(d), flush=True))
     return {"extract_coma_production_samples_per_sec": _round(rate, 3),
             "extract_coma_production_breakdown": breakdown}
 
@@ -230,11 +234,16 @@ SECTION_FNS = {
 SECTION_PLAN = [
     ("pipe_suite",          True,  300),
     ("coma",                True,  120),
-    ("extract_production",  True,  180),
     ("dp_scaling",          False, 150),
+    # extract emits its aggregation rate before the tunnel-bound ~200 s
+    # state-export fetch, so it degrades gracefully at the budget edge;
+    # dp_scaling (all-or-nothing) therefore runs first
+    ("extract_production",  True,  120),
     # e2e emits one partial line per completed stage, so it usefully runs
     # on whatever scraps remain — a deadline kill keeps the measured prefix
-    ("e2e",                 True,  90),
+    # (render+select+prompts alone fit in ~20 s; min_needed is set to the
+    # smallest scrap that still captures a useful prefix)
+    ("e2e",                 True,  40),
 ]
 
 # torch_baselines never touches the chip, costs ~8 CPU-minutes, and its
@@ -247,6 +256,15 @@ SECTION_PLAN = [
 BACKGROUND_SECTION = "torch_baselines"
 BASELINE_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baselines_cache.json")
+
+# The measured mini-category e2e takes ~950 s on this harness (dominated by
+# the lifting stages), which rarely fits the budget tail. Its last full
+# measurement is committed with provenance and reported under the DISTINCT
+# key `mini_category_stage_seconds_cached`; a live run (whenever budget
+# allows) lands under `mini_category_stage_seconds` — fresh never clobbers
+# cached, cached never masquerades as fresh.
+E2E_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_e2e_cache.json")
 
 # seconds to let the axon tunnel reclaim a just-killed client's HBM before
 # the next section attaches (observed: sections started immediately after a
@@ -441,6 +459,17 @@ def main():
         except Exception as exc:
             sections[BACKGROUND_SECTION] = {
                 "status": f"spawn failed: {type(exc).__name__}"}
+
+    if os.path.exists(E2E_CACHE):
+        try:
+            with open(E2E_CACHE) as rf:
+                e2e_cached = json.load(rf)
+            extras.update(e2e_cached.get("values", {}))
+            sections["e2e_cached"] = {
+                "status": "cached", "measured_at": e2e_cached.get("measured_at")}
+        except Exception as exc:
+            sections["e2e_cached"] = {
+                "status": f"cache unreadable: {type(exc).__name__}"}
 
     skip_e2e = bool(os.environ.get("COMA_BENCH_SKIP_E2E"))
     prev_killed = False

@@ -158,6 +158,16 @@ def aggregate_samples_streaming(
                 jnp.asarray(batch["obj_normals"]),
                 valid=valid,
             )
+        # One scalar fetch per batch = a hard completion barrier. Without
+        # it, async dispatch enqueues batch k+1 while batch k is still
+        # executing, so THREE (H, O, N) grid-pair states are live at once
+        # (~12 GB at the reference qual shape 10475x180x250) and the 16 GB
+        # chip RESOURCE_EXHAUSTs; the barrier caps the peak at two states.
+        # A value fetch, not block_until_ready — the tunneled backend can
+        # ack block_until_ready before the device finishes. The threaded
+        # loader keeps prefetching batch k+1 while we wait, so load/compute
+        # overlap is preserved; the fetch itself is ~40 ms per batch.
+        float(state.used_count)
     return state, n
 
 
@@ -175,12 +185,19 @@ def run_affordance_extraction(
     skip_done: bool = False,
     verbose: bool = True,
     multihost: bool = False,
+    timings: Optional[Dict[str, float]] = None,
 ) -> List[str]:
     """Run extraction for every discovered SCAM; returns saved product paths.
 
     With ``multihost`` (after ``parallel.multihost.initialize()``): each
     process aggregates its shard of the sample list, states are combined with
-    one DCN psum, and process 0 writes the outputs (SURVEY §2.6 mapping)."""
+    one DCN psum, and process 0 writes the outputs (SURVEY §2.6 mapping).
+
+    ``timings`` (optional dict) accumulates phase wall-clocks across scams:
+    ``aggregate_s`` (load+prep+device scan), ``export_s`` (device->host state
+    fetch + pickle write) and ``product_s`` (product compute + save) — the
+    bench harness uses it to separate compute from transfer cost."""
+    import time as _time
     tree = ResultsTree(results_root)
     visualize_type = hyperparams["visualize_type"]
     occupancy = visualize_type == "occupancy"
@@ -274,9 +291,13 @@ def run_affordance_extraction(
                 from coma_tpu.parallel import multihost as mh
 
                 agg_keys = mh.process_shard_worklist(sorted(keys))
+            _t0 = _time.perf_counter()
             state, n_samples = aggregate_samples_streaming(
                 state, agg_keys, prepare_one, occupancy
             )
+            if timings is not None:
+                timings["aggregate_s"] = timings.get("aggregate_s", 0.0) + (
+                    _time.perf_counter() - _t0)
             if multihost:
                 state = mh.allreduce_state(state)
                 n_samples = int(
@@ -292,10 +313,14 @@ def run_affordance_extraction(
                 continue
 
             os.makedirs(os.path.dirname(coma_pickle), exist_ok=True)
+            _t0 = _time.perf_counter()
             if occupancy:
                 save_occupancy_state(state, coma_pickle)
             else:
                 save_coma_state(state, coma_pickle)
+            if timings is not None:
+                timings["export_s"] = timings.get("export_s", 0.0) + (
+                    _time.perf_counter() - _t0)
             info = dict(hyperparams)
             info.update(
                 H=H, O=O, num_samples=n_samples,
@@ -308,7 +333,11 @@ def run_affordance_extraction(
                       f"(H={H}, O={O}) -> {coma_pickle}")
 
         if visualize_type != "none":
+            _t0 = _time.perf_counter()
             saved.append(
                 save_product(state, visualize_type, hyperparams, object_downsample, out_dir)
             )
+            if timings is not None:
+                timings["product_s"] = timings.get("product_s", 0.0) + (
+                    _time.perf_counter() - _t0)
     return saved
