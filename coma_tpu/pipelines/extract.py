@@ -112,18 +112,35 @@ def aggregate_samples_streaming(
     k while workers load batch k+1 (vs the reference's strictly serial
     unpickle->prep->update loop, ``extract_coma.py:383-425``).
 
+    ``state`` may be passed as a 1-element list (``[state]``): the list is
+    emptied on entry, HANDING OVER the caller's only reference so the initial
+    grids free as soon as batch 0's output replaces them. Passing the state
+    bare keeps a live reference in the caller's frame for the whole call —
+    one extra (H, O, N) grid-pair (~3.8 GB at the reference qual shape) that
+    the 16 GB chip cannot spare at peak (measured: batch 1 of a 2-batch
+    full-scale run RESOURCE_EXHAUSTs with the bare form, fits with the
+    handover).
+
     Returns (state, num_samples).
     """
     from coma_tpu.pipelines.loader import PrefetchingSampleLoader
 
+    if isinstance(state, list):
+        state = state.pop()
+
     multi = len(jax.devices()) > 1
+    # Donate the state on real (non-tunneled) TPU: in-place accumulation
+    # halves the inter-batch grid peak (in-state + out-state -> one). The
+    # axon tunnel rejects donation at runtime (INVALID_ARGUMENT, observed
+    # r5) and XLA:CPU ignores it with a warning, so gate on the platform.
+    donate = (0,) if jax.default_backend() == "tpu" else ()
     if occupancy:
         if multi:
             step = sharded_occupancy_aggregate
         elif jax.default_backend() != "cpu":
             from coma_tpu.ops.occupancy_kernel import fused_occupancy_update_batch
 
-            step = jax.jit(fused_occupancy_update_batch)
+            step = jax.jit(fused_occupancy_update_batch, donate_argnums=donate)
         else:
             step = jax.jit(occupancy_update_batch)
     elif multi:
@@ -131,7 +148,7 @@ def aggregate_samples_streaming(
     elif jax.default_backend() != "cpu":
         from coma_tpu.ops.contact_kernel import fused_contact_update_batch
 
-        step = jax.jit(fused_contact_update_batch)
+        step = jax.jit(fused_contact_update_batch, donate_argnums=donate)
     else:
         step = jax.jit(contact_update_batch)
 
@@ -292,8 +309,14 @@ def run_affordance_extraction(
 
                 agg_keys = mh.process_shard_worklist(sorted(keys))
             _t0 = _time.perf_counter()
+            # hand over the init state's ONLY reference (list form) so the
+            # zeroed grids free the moment batch 0's output replaces them —
+            # a bare `state` argument stays pinned by this frame for the
+            # whole call and costs an extra grid-pair of HBM at peak
+            state_box = [state]
+            del state
             state, n_samples = aggregate_samples_streaming(
-                state, agg_keys, prepare_one, occupancy
+                state_box, agg_keys, prepare_one, occupancy
             )
             if timings is not None:
                 timings["aggregate_s"] = timings.get("aggregate_s", 0.0) + (
