@@ -35,7 +35,16 @@ itself:
   gates every section start: a section that cannot fit in the remaining
   budget is skipped and recorded as ``skipped (budget)``;
 - the final JSON line is printed exactly once, also on SIGTERM/SIGINT/
-  normal-exit via atexit, with whatever has been measured by then.
+  normal-exit via atexit, with whatever has been measured by then;
+- committed FLOOR CACHES (bench_{pipe,coma,dp}_cache.json — completed runs
+  of the same section code on this host) merge at startup under
+  ``<key>_cached`` names, so a round where the axon tunnel degrades
+  server-side (observed: trivial device ops stalling 800+ s) still records
+  every metric with honest provenance; if the live headline is missing the
+  emitted ``value`` falls back to the cached one and the unit string says
+  ``[CACHED: ...]``. Fresh results always land under the unsuffixed keys,
+  and tools/update_readme_perf.py never promotes floor values into the
+  driver-captured README table.
 """
 from __future__ import annotations
 
@@ -266,6 +275,42 @@ BASELINE_CACHE = os.path.join(
 E2E_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_e2e_cache.json")
 
+# Last-known-good floors for the TPU sections, each a completed run of the
+# SAME section code on this host's chip, committed with provenance. The axon
+# tunnel intermittently degrades server-side (observed in round 5: a trivial
+# ones.sum() stalling 800+ s, pipe_suite burning its whole window without
+# finishing one warmup) — when that hits the driver's run, the live sections
+# produce nothing. These caches are merged at startup under ``<key>_cached``
+# names so a degraded round still records every metric with honest labeling;
+# live results land under the unsuffixed keys and take precedence everywhere
+# downstream (fresh never clobbers cached, cached never masquerades as
+# fresh). If even the live headline is missing, _emit falls back to the
+# cached headline and SAYS SO in the unit string.
+FLOOR_CACHES = [
+    ("pipe_cached", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_pipe_cache.json")),
+    ("coma_cached", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_coma_cache.json")),
+    ("dp_cached", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_dp_cache.json")),
+]
+
+
+def _load_floor_cache(label: str, path: str, extras: dict, sections: dict):
+    """Merge a committed floor cache's values under ``<key>_cached`` names."""
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as rf:
+            cached = json.load(rf)
+        extras.update({k + "_cached": v
+                       for k, v in cached.get("values", {}).items()})
+        sections[label] = {"status": "cached",
+                           "measured_at": cached.get("measured_at")}
+    except Exception as exc:
+        sections[label] = {
+            "status": f"cache unreadable: {type(exc).__name__}"}
+
 # seconds to let the axon tunnel reclaim a just-killed client's HBM before
 # the next section attaches (observed: sections started immediately after a
 # kill hit RESOURCE_EXHAUSTED that a fresh chip doesn't produce)
@@ -365,14 +410,24 @@ def _emit(extras: dict, sections: dict):
         return
     _emitted = True
     imgs = extras.get("hoi_2d_images_per_sec")
+    unit = ("img/s/chip (512², 50 DDIM, adaptive-mask, in-loop U-Net "
+            "segmenter, batch 16; PointRend-in-loop rate in extra)")
+    if imgs is None and extras.get("hoi_2d_images_per_sec_cached") is not None:
+        # live pipe_suite produced nothing (degraded tunnel / budget kill):
+        # fall back to the committed floor measurement, labeled as such
+        imgs = extras["hoi_2d_images_per_sec_cached"]
+        when = (sections.get("pipe_cached") or {}).get("measured_at", "?")
+        unit += (f" [CACHED: completed warm run of the same section on this "
+                 f"host's chip, {when} (bench_pipe_cache.json) — the live "
+                 f"section did not finish this round]")
     base = extras.get("inpaint_torch_cpu_imgs_per_sec")
     coma_base = extras.get("coma_torch_cpu_samples_per_sec")
-    coma_sps = extras.get("coma_contact_aggregation_samples_per_sec")
+    coma_sps = (extras.get("coma_contact_aggregation_samples_per_sec")
+                or extras.get("coma_contact_aggregation_samples_per_sec_cached"))
     out = {
         "metric": "hoi_2d_images_per_sec_per_chip",
         "value": _round(imgs, 4),
-        "unit": "img/s/chip (512², 50 DDIM, adaptive-mask, in-loop U-Net "
-                "segmenter, batch 16; PointRend-in-loop rate in extra)",
+        "unit": unit,
         "vs_baseline": (round(imgs / base, 2) if (base and imgs) else None),
         "extra": {
             k: v for k, v in extras.items() if k != "hoi_2d_images_per_sec"
@@ -387,6 +442,11 @@ def _emit(extras: dict, sections: dict):
         round(2400 / imgs / 60.0, 1) if imgs else None)
     out["extra"]["coma_vs_torch_cpu"] = (
         round(coma_sps / coma_base, 2) if (coma_base and coma_sps) else None)
+    if ("coma_contact_aggregation_samples_per_sec" not in extras
+            and out["extra"]["coma_vs_torch_cpu"] is not None):
+        out["extra"]["coma_vs_torch_cpu_source"] = (
+            "cached floor (bench_coma_cache.json) — live coma section did "
+            "not finish this round")
     out["extra"]["baseline_def"] = (
         "torch-CPU mirrors on this host (reference publishes none)")
     out["extra"]["sections"] = sections
@@ -459,6 +519,9 @@ def main():
         except Exception as exc:
             sections[BACKGROUND_SECTION] = {
                 "status": f"spawn failed: {type(exc).__name__}"}
+
+    for label, path in FLOOR_CACHES:
+        _load_floor_cache(label, path, extras, sections)
 
     if os.path.exists(E2E_CACHE):
         try:

@@ -31,7 +31,8 @@ END = "<!-- BENCH:END -->"
 NON_METRIC_KEYS = {"sections", "baseline_def", "coma_contact_chain_times_s",
                    "crop_mode_latent_bucket", "extract_coma_production_breakdown",
                    "inpaint_torch_cpu_imgs_per_sec",
-                   "coma_torch_cpu_samples_per_sec"}
+                   "coma_torch_cpu_samples_per_sec",
+                   "coma_vs_torch_cpu_source"}
 
 
 def load_parsed_records():
@@ -64,14 +65,28 @@ def merge_records(recs):
     metric = recs[-1][1].get("metric")
     merged, prov = {}, {}
     for name, parsed in recs:  # ascending: later records overwrite
-        if parsed.get("metric") == metric:
+        # A record emitted from the committed floor caches (degraded-tunnel
+        # round) labels its headline "[CACHED: ...]" in the unit string and
+        # suffixes the floor values "_cached" — those are last-known-good
+        # local measurements, NOT fresh driver captures, and must never
+        # displace a genuinely captured figure in this table.
+        cached_headline = "[CACHED" in (parsed.get("unit") or "")
+        extra = parsed.get("extra") or {}
+        if parsed.get("metric") == metric and not cached_headline:
             for key in ("value", "vs_baseline"):
                 if parsed.get(key) is not None:
                     merged[key] = parsed[key]
                     prov[key] = name
-        for key, val in (parsed.get("extra") or {}).items():
+        for key, val in extra.items():
             if key in NON_METRIC_KEYS or val is None:
                 continue
+            if key.endswith("_cached"):
+                continue  # floor values, not fresh captures
+            if (cached_headline and key ==
+                    "behave_backpack_2d_category_wallclock_min_per_chip"):
+                continue  # projected from the cached headline
+            if key == "coma_vs_torch_cpu" and "coma_vs_torch_cpu_source" in extra:
+                continue  # derived from a cached floor rate
             merged[key] = val
             prov[key] = name
     return merged, prov
