@@ -56,52 +56,66 @@ def test_merge_keeps_maximal_key_set():
                     "a": "BENCH_r02.json", "b": "BENCH_r04.json"}
 
 
-def test_check_tolerates_one_unpropagated_newest_record(tmp_path):
+def test_check_tolerates_one_unpropagated_newest_record(
+        tmp_path, monkeypatch, capsys):
     """The driver writes BENCH_r{N}.json after the final snapshot, so the
     judge's checkout holds one record newer than the committed README;
     ``--check`` must treat that state as in sync (r4 verdict item 4's
-    mechanical failure) while still failing on real drift."""
-    import shutil
+    mechanical failure) while still failing on real drift.
+
+    Runs the tool in-process against a scratch repo (was ~11 s of fast-lane
+    subprocess spawns on this 1-core host; the module is loaded fresh so the
+    patched REPO global cannot leak into other tests)."""
+    import importlib.util
 
     repo = tmp_path / "repo"
-    (repo / "tools").mkdir(parents=True)
-    shutil.copy(os.path.join(REPO, "tools", "update_readme_perf.py"),
-                repo / "tools" / "update_readme_perf.py")
+    repo.mkdir()
     for n, extra in ((1, {"a": 1.0}), (2, {"b": 2.0})):
         (repo / f"BENCH_r0{n}.json").write_text(json.dumps({
             "parsed": {"metric": "hoi_2d_images_per_sec_per_chip",
                        "value": 0.5 + n, "extra": extra}}))
-    env = dict(os.environ, PYTHONDONTWRITEBYTECODE="1")
+
+    spec = importlib.util.spec_from_file_location(
+        "update_readme_perf_scratch",
+        os.path.join(REPO, "tools", "update_readme_perf.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.REPO = str(repo)
+
+    def run(*argv):
+        monkeypatch.setattr(sys, "argv", ["update_readme_perf.py", *argv])
+        try:
+            mod.main()
+            code = 0
+        except SystemExit as exc:
+            code = 0 if not exc.code else 1
+        return code, capsys.readouterr().out
 
     def check():
-        return subprocess.run(
-            [sys.executable, str(repo / "tools" / "update_readme_perf.py"),
-             "--check"], capture_output=True, text=True, timeout=60, env=env)
+        return run("--check")
 
     # README generated from r01+r02, then the driver writes r03: in sync
     (repo / "README.md").write_text("x\n<!-- BENCH:BEGIN\n<!-- BENCH:END -->\ny\n")
-    subprocess.run([sys.executable,
-                    str(repo / "tools" / "update_readme_perf.py")],
-                   check=True, capture_output=True, timeout=60, env=env)
+    assert run()[0] == 0  # regenerate
     (repo / "BENCH_r03.json").write_text(json.dumps({
         "parsed": {"metric": "hoi_2d_images_per_sec_per_chip",
                    "value": 9.9, "extra": {"c": 3.0}}}))
-    r = check()
-    assert r.returncode == 0, r.stdout + r.stderr
-    assert "was written after" in r.stdout
+    code, out = check()
+    assert code == 0, out
+    assert "was written after" in out
 
     # TWO unpropagated records: real drift, must fail
     (repo / "BENCH_r04.json").write_text(json.dumps({
         "parsed": {"metric": "hoi_2d_images_per_sec_per_chip",
                    "value": 1.1, "extra": {}}}))
-    assert check().returncode != 0
+    assert check()[0] != 0
 
     # hand-edited figure: must fail even with no new record
     for extra_rec in ("BENCH_r03.json", "BENCH_r04.json"):
         (repo / extra_rec).unlink()
     readme = (repo / "README.md").read_text()
     (repo / "README.md").write_text(readme.replace("**2.5**", "**99**"))
-    assert check().returncode != 0
+    assert check()[0] != 0
 
 
 def test_merge_excludes_foreign_headline_metric():

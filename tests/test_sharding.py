@@ -68,12 +68,18 @@ def test_sharded_occupancy_matches_sequential(rng):
     )
 
 
-def test_sharded_contact_chains_batch_over_batch(rng):
+@pytest.mark.parametrize("B_total,bs", [
+    (16, 8),  # fast-lane representative: the B=8 shard program is already
+              # compiled by test_sharded_contact_matches_sequential[8], so
+              # this only adds the joint-16 compile; 2 chained calls are
+              # enough to catch the compounding (it multiplied on EVERY call)
+    pytest.param(13, 4, marks=pytest.mark.slow),  # ragged chain: 4,4,4,1
+])
+def test_sharded_contact_chains_batch_over_batch(rng, B_total, bs):
     """Regression (round 5): psum-ing the updated REPLICATED state multiplied
     the carried-in accumulators by the device count on every chained call —
     the streaming extraction aggregates batch-over-batch exactly like this.
     Correct semantics: state_in + sum of per-shard deltas."""
-    B_total, bs = 13, 4
     hv, hn, ov, on = make_batch(rng, B_total)
     state0 = init_coma_state(H, O, N, 0.07, 0.24)
     state = state0
