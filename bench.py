@@ -361,6 +361,19 @@ def _parse_marks(out: str) -> dict:
     return merged
 
 
+def _tpu_section_cap(plan_idx: int, remaining: float, min_needed: float,
+                     sections: dict) -> float:
+    """A TPU section on a degraded tunnel can stall for its entire window
+    (observed round 5: pipe_suite burning 1396 s without one warmup while
+    the probe had passed). Reserve the min_needed of every LATER CPU-only
+    section still pending — those are the only fresh captures a degraded
+    round is guaranteed to land — but never squeeze this section below its
+    own min_needed."""
+    reserve = sum(mn for nm, tpu, mn in SECTION_PLAN[plan_idx + 1:]
+                  if not tpu and nm not in sections)
+    return max(min_needed, remaining - reserve)
+
+
 def _run_section(name: str, timeout_s: float):
     """Run one section subprocess; returns (result_dict_or_None, status)."""
     global _current_child
@@ -536,7 +549,7 @@ def main():
 
     skip_e2e = bool(os.environ.get("COMA_BENCH_SKIP_E2E"))
     prev_killed = False
-    for name, needs_tpu, min_needed in SECTION_PLAN:
+    for plan_idx, (name, needs_tpu, min_needed) in enumerate(SECTION_PLAN):
         if name == "e2e" and skip_e2e:
             sections[name] = {"status": "skipped (COMA_BENCH_SKIP_E2E)"}
             continue
@@ -552,8 +565,11 @@ def main():
                 "status": f"skipped (budget: {remaining:.0f}s left, "
                           f"needs {min_needed}s)"}
             continue
+        budget_cap = (_tpu_section_cap(plan_idx, remaining, min_needed,
+                                       sections)
+                      if needs_tpu else remaining)
         t0 = time.perf_counter()
-        result, status = _run_section(name, remaining)
+        result, status = _run_section(name, budget_cap)
         if (result is None and needs_tpu and status.startswith("failed")
                 and deadline - time.perf_counter() > min_needed):
             # transient tunnel faults (RESOURCE_EXHAUSTED right after a

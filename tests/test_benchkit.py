@@ -109,6 +109,24 @@ def test_live_results_take_precedence_over_floor(capsys):
     assert "coma_vs_torch_cpu_source" not in out["extra"]
 
 
+def test_tpu_section_cap_reserves_pending_cpu_sections():
+    """pipe_suite stalling on a degraded tunnel must not starve dp_scaling —
+    the one section a degraded round can always capture fresh."""
+    plan = {n: i for i, (n, _, _) in enumerate(bench.SECTION_PLAN)}
+    dp_min = next(mn for n, _, mn in bench.SECTION_PLAN if n == "dp_scaling")
+    # pipe_suite runs first with dp_scaling pending: its window shrinks
+    cap = bench._tpu_section_cap(plan["pipe_suite"], 1400.0, 300, {})
+    assert cap == 1400.0 - dp_min
+    # once dp_scaling has run, later TPU sections get the full remainder
+    cap = bench._tpu_section_cap(
+        plan["extract_production"], 400.0, 120,
+        {"dp_scaling": {"status": "ok"}})
+    assert cap == 400.0
+    # the reserve never squeezes a section below its own min_needed
+    cap = bench._tpu_section_cap(plan["pipe_suite"], 310.0, 300, {})
+    assert cap == 300
+
+
 def test_readme_merge_never_promotes_cached_floor():
     """A BENCH record whose headline fell back to the floor must not displace
     a genuinely captured figure in the README table."""
