@@ -38,6 +38,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--asset_obj_pth", type=str, help="override asset .obj path")
     parser.add_argument("--disable_lowres_switch_for_behave", action="store_true")
     parser.add_argument("--no_initialize", action="store_true")
+    parser.add_argument("--filter_out", action="store_true",
+                        help="pre-filter depth candidates to local minima of "
+                             "the human-asset triangle-collision curve "
+                             "(initialize_depth.py:96-125; dead code upstream "
+                             "-- with the upstream defaults kernel_size=9 > "
+                             "2*retrieval_range, the window keeps NOTHING; "
+                             "use e.g. --kernel_size 5)")
+    parser.add_argument("--max_collisions", type=int, default=1000,
+                        help="collision-count cap per candidate (parity with "
+                             "the BVH output-buffer size, "
+                             "initialize_depth.py:388)")
+    parser.add_argument("--kernel_size", type=int, default=9,
+                        help="local-minimum window of the collision filter "
+                             "(initialize_depth.py:387)")
     return parser
 
 
@@ -134,6 +148,30 @@ def main(argv=None) -> None:
             offsets = jnp.arange(-args.retrieval_range, args.retrieval_range + 1,
                                  dtype=jnp.float32)
             displacements = dist + offsets * interval
+
+            if args.filter_out:
+                # local-minimum collision pre-filter (extract_candidates:
+                # 96-125); the curve is one jitted blocked sweep instead of
+                # 2*retrieval_range+1 sequential CUDA BVH builds
+                from coma_tpu.ops.collision import (
+                    collision_curve, filter_candidate_indices)
+                curve = np.minimum(
+                    np.asarray(collision_curve(
+                        human_verts, jnp.asarray(pred["faces"], jnp.int32),
+                        jnp.asarray(asset_verts, jnp.float32),
+                        jnp.asarray(asset_faces, jnp.int32),
+                        displacements, direction)),
+                    args.max_collisions)
+                kept = filter_candidate_indices(curve, args.kernel_size)
+                if kept.size == 0:
+                    # reference: empty candidate list -> select_human None ->
+                    # the TOO_SMALL_HUMAN sentinel (initialize_depth.py:362-365)
+                    with open(out, "wb") as fh:
+                        pickle.dump(TOO_SMALL_HUMAN, fh,
+                                    protocol=pickle.HIGHEST_PROTOCOL)
+                    n_sent += 1
+                    continue
+                displacements = displacements[jnp.asarray(kept)]
 
             # GT human mask from the segmentation stage
             seg_pth = f"{args.human_seg_dir}/{sc_str}/{cat_str}/{asset_id}/{view_id}/{mask_id}/{prompt}/{fname}"

@@ -157,6 +157,33 @@ def test_full_lifting_chain(scene):
         assert "z_min" in s
 
 
+def test_initialize_depth_filter_out_path(scene):
+    """`--filter_out` (the closed BVH dead-code path): the collision
+    pre-filter must either keep local-minimum candidates (dict output) or
+    keep nothing and emit the reference's TOO_SMALL_HUMAN sentinel
+    (initialize_depth.py:362-365); kernel_size=5 < 2*retrieval_range+1 so
+    the window itself is non-degenerate."""
+    from coma_tpu.core.sentinels import TOO_SMALL_HUMAN
+
+    cli_init.main([
+        "--asset_obj_pth", scene["obj_pth"], "--filter_out",
+        "--kernel_size", "5", "--save_dir",
+        "results/generation/human_before_opt_filtered",
+    ])
+    outs = glob.glob(
+        "results/generation/human_before_opt_filtered/*/*/*/*/*/*/*.pickle")
+    assert len(outs) == 2
+    for p in outs:
+        with open(p, "rb") as fh:
+            sel = pickle.load(fh)
+        if isinstance(sel, str):
+            assert sel == TOO_SMALL_HUMAN
+        else:
+            assert sel["IoU"] is not None
+            # kernel 5 over 7 candidates keeps at most 3 centers
+            assert 0 <= sel["idx"] < 3
+
+
 def test_filter_and_extract_consume_lifting_outputs(scene):
     from coma_tpu.pipelines.downsample import (
         downsample_human_template,

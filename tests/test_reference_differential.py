@@ -676,3 +676,128 @@ print("TORCH_FREE_OK")
                        text=True, timeout=300, env=env)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "TORCH_FREE_OK" in r.stdout
+
+
+# --------------------------------------------------------------------------
+# src/generation/initialize_depth.py — directional size, nearest point, and
+# the (dead upstream) filter_out candidate window, run as the REAL reference
+# code with only its Blender/CUDA imports stubbed.
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_init():
+    """File-import ``src/generation/initialize_depth.py``. The functions
+    under test are pure numpy; ``compute_collision`` (CUDA BVH — and its
+    ``BVH`` symbol is never even imported upstream, NameError if reached) is
+    monkeypatched per-test."""
+    _stub("blenderproc")
+    _stub("bpy")
+    _stub("bpy.app")
+    _stub("bpy.app.handlers", persistent=lambda f: f)
+    _stub("mathutils", Matrix=object)
+    for name in ("open3d", "trimesh"):
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            _stub(name)
+    _stub("trimesh.boolean", intersection=None)
+    _stub("constants")
+    _stub("constants.generation")
+    _stub("constants.generation.assets",
+          CATEGORY2DATASET_TYPE={}, DATASET_PTHS={}, CATEGORY2ASSET={})
+    _stub("constants.generation.visualizers",
+          COMPATIBILITY_MATRIX_TRIMESH_P3D_TO_BLENDER=np.array(
+              [[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]]),
+          COMPATIBILITY_MATRIX_OPENGL_TO_BLENDER=np.array(
+              [[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]]))
+    _stub("constants.metadata", DEFAULT_SEED=42)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_initialize_depth",
+        os.path.join(REFERENCE_ROOT, "src", "generation", "initialize_depth.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    yield mod
+    for name in _STUBBED:
+        sys.modules.pop(name, None)
+    _STUBBED.clear()
+    for name in list(sys.modules):
+        if name == "utils" or name.startswith("utils."):
+            sys.modules.pop(name)
+
+
+def test_directional_size_and_nearest_point_match_reference(ref_init):
+    from coma_tpu.lifting.depth_init import (
+        compute_directional_size, compute_nearest_point)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        verts = rng.normal(size=(40, 3))
+        direction = rng.normal(size=3)
+        point = rng.normal(size=3)
+        want_size = ref_init.compute_directional_size(verts, direction / np.linalg.norm(direction))
+        got_size = float(compute_directional_size(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(direction, jnp.float32)))
+        assert abs(got_size - want_size) < 1e-4
+        want_near, want_dist = ref_init.compute_nearest_point(
+            verts, point, direction.copy())
+        got_near, got_dist = compute_nearest_point(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(point, jnp.float32),
+            jnp.asarray(direction, jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(got_near), want_near.reshape(3), rtol=1e-4, atol=1e-5)
+        assert abs(float(got_dist) - want_dist) < 1e-4
+
+
+@pytest.mark.parametrize("kernel_size", [5, 9])
+def test_filter_out_window_matches_reference_extract_candidates(
+        ref_init, monkeypatch, kernel_size):
+    """Drive the reference's real ``extract_candidates(filter_out=True)``
+    with deterministic fake collision counts; our
+    ``filter_candidate_indices`` must keep the same candidates — the
+    reference's kept verts use ``displacements[center - kernel//2]`` (its
+    sliced-index quirk, extract_candidates:119,125), which the mapping below
+    reproduces explicitly."""
+    from coma_tpu.ops.collision import filter_candidate_indices
+
+    rng = np.random.default_rng(kernel_size)
+    D = 2 * kernel_size + 3
+    human_verts = rng.normal(size=(12, 3))
+    human_faces = np.arange(12, dtype=np.int64).reshape(4, 3)
+    asset_verts = rng.normal(size=(9, 3))
+    asset_faces = np.arange(9, dtype=np.int64).reshape(3, 3)
+    displacements = np.linspace(0.0, 2.0, D)
+    direction = np.array([0.3, -1.2, 0.4])
+
+    for trial in range(10):
+        curve = rng.integers(0, 4, size=D).astype(float)
+        curve[rng.integers(0, D, size=3)] = 0.0
+        calls = {"n": 0}
+
+        def fake_compute_collision(verts, faces, max_collisions, _c=calls,
+                                   _curve=curve):
+            i = _c["n"]
+            _c["n"] += 1
+            if i < 2:            # the two standalone default_collision calls
+                return 0.0
+            return float(_curve[i - 2])
+
+        monkeypatch.setattr(ref_init, "compute_collision",
+                            fake_compute_collision)
+        cands = ref_init.extract_candidates(
+            human_verts, human_faces, asset_verts, asset_faces,
+            displacements=list(displacements), direction=direction.copy(),
+            kernel_size=kernel_size, max_collisions=1000, filter_out=True)
+        kept = filter_candidate_indices(curve, kernel_size)
+        assert len(cands) == len(kept)
+        half = kernel_size // 2
+        dirn = direction.reshape(1, 3)
+        for cand, c in zip(cands, kept):
+            np.testing.assert_allclose(
+                cand["verts"],
+                human_verts + displacements[c - half] * dirn)
